@@ -1,0 +1,274 @@
+"""Sparse storage formats as pytrees of jnp arrays.
+
+TPU-first re-design of the reference's POD structs
+(reference: IA-SPGEMM-CPU_release/detail/format.h:7-76):
+
+- All arrays have *static* shapes (XLA requirement); the true number of
+  stored entries `nnz` travels as a 0-d int32 leaf so kernels can produce
+  data-dependent results under jit, padded to a static capacity.
+- 2-D layouts (ELL values/col_ind as (rows, K); DIA values as (rows, ndiag))
+  are dense jnp arrays — the natural TPU tiling — instead of the reference's
+  row-pointer `malloc2d` tables (detail/common.h:19-31).
+- Padding conventions: CSR/COO tail entries have col_ind == ncols (a sentinel
+  that sorts after every real column) and values == 0; ELL empty slots have
+  col_ind == -1 and values == 0 (the reference leaves ELL padding
+  uninitialized and relies on nnz_row, ell/common_ell.h:53-55).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+Shape2 = Tuple[int, int]
+
+
+def _as_nnz(nnz) -> jax.Array:
+    return jnp.asarray(nnz, dtype=jnp.int32)
+
+
+@struct.dataclass
+class CSR:
+    """Compressed sparse row (reference: detail/format.h:29-39 CsrMatrix)."""
+
+    row_ptr: jax.Array  # (nrows+1,) int32, row_ptr[-1] == nnz
+    col_ind: jax.Array  # (capacity,) int32, tail padded with ncols
+    values: jax.Array   # (capacity,) float
+    nnz: jax.Array      # 0-d int32 — true entry count
+    shape: Shape2 = struct.field(pytree_node=False)
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def capacity(self) -> int:
+        return self.col_ind.shape[0]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def nnz_int(self) -> int:
+        return int(self.nnz)
+
+    @classmethod
+    def from_arrays(cls, row_ptr, col_ind, values, shape: Shape2,
+                    nnz=None) -> "CSR":
+        row_ptr = jnp.asarray(row_ptr, dtype=jnp.int32)
+        col_ind = jnp.asarray(col_ind, dtype=jnp.int32)
+        values = jnp.asarray(values)
+        if nnz is None:
+            nnz = row_ptr[-1]
+        return cls(row_ptr=row_ptr, col_ind=col_ind, values=values,
+                   nnz=_as_nnz(nnz), shape=tuple(shape))
+
+    @classmethod
+    def from_scipy(cls, mat, capacity: int | None = None) -> "CSR":
+        """Build from a scipy.sparse matrix (the test oracle's type)."""
+        m = mat.tocsr()
+        m.sum_duplicates()
+        nnz = int(m.nnz)
+        cap = capacity or max(nnz, 1)
+        col = np.full(cap, m.shape[1], dtype=np.int32)
+        val = np.zeros(cap, dtype=m.data.dtype)
+        col[:nnz] = m.indices
+        val[:nnz] = m.data
+        return cls(row_ptr=jnp.asarray(m.indptr, dtype=jnp.int32),
+                   col_ind=jnp.asarray(col),
+                   values=jnp.asarray(val),
+                   nnz=_as_nnz(nnz), shape=tuple(m.shape))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        nnz = int(self.nnz)
+        return sp.csr_matrix(
+            (np.asarray(self.values)[:nnz],
+             np.asarray(self.col_ind)[:nnz],
+             np.asarray(self.row_ptr)),
+            shape=self.shape)
+
+    def checksum(self) -> jax.Array:
+        """Sum of stored values — the reference's `verified_sum`
+        (main.cpp:753-758)."""
+        return jnp.sum(self.values)
+
+
+@struct.dataclass
+class COO:
+    """Coordinate format. The reference's CooMatrix keeps BOTH a CSR-style
+    row_offset pointer and per-entry row_ind (detail/format.h:16-27); we do
+    the same so either view is free."""
+
+    row_offset: jax.Array  # (nrows+1,) int32
+    row_ind: jax.Array     # (capacity,) int32, tail padded with nrows
+    col_ind: jax.Array     # (capacity,) int32, tail padded with ncols
+    values: jax.Array      # (capacity,) float
+    nnz: jax.Array         # 0-d int32
+    shape: Shape2 = struct.field(pytree_node=False)
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def capacity(self) -> int:
+        return self.col_ind.shape[0]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        nnz = int(self.nnz)
+        return sp.coo_matrix(
+            (np.asarray(self.values)[:nnz],
+             (np.asarray(self.row_ind)[:nnz], np.asarray(self.col_ind)[:nnz])),
+            shape=self.shape)
+
+    def checksum(self) -> jax.Array:
+        return jnp.sum(self.values)
+
+
+@struct.dataclass
+class ELL:
+    """ELLPACK: left-justified padded rows — the most TPU-natural sparse
+    layout (reference: detail/format.h:65-76 EllMatrix)."""
+
+    col_ind: jax.Array  # (nrows, K) int32, empty slots == -1
+    values: jax.Array   # (nrows, K) float, empty slots == 0
+    nnz_row: jax.Array  # (nrows,) int32
+    nnz: jax.Array      # 0-d int32
+    shape: Shape2 = struct.field(pytree_node=False)
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def max_nnz_per_row(self) -> int:
+        return self.col_ind.shape[1]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        col = np.asarray(self.col_ind)
+        val = np.asarray(self.values)
+        mask = col >= 0
+        rows = np.broadcast_to(
+            np.arange(self.nrows)[:, None], col.shape)[mask]
+        return sp.coo_matrix((val[mask], (rows, col[mask])),
+                             shape=self.shape).tocsr()
+
+    def checksum(self) -> jax.Array:
+        return jnp.sum(self.values)
+
+
+@struct.dataclass
+class DIA:
+    """Diagonal format (reference: detail/format.h:53-63 DiaMatrix).
+
+    `offsets[d] = col - row` for occupied diagonal slot d, ascending.
+    `values[i, d]` holds A[i, i + offsets[d]].
+    `diag_ind` maps the dense diagonal index (row - i + j - 1 in the
+    reference's numbering, i.e. offset + nrows - 1 here) to its slot, with -1
+    for absent diagonals (the reference reuses a 0-initialized map,
+    dia/common_dia.h:62-71; we use -1 to disambiguate slot 0).
+    """
+
+    offsets: jax.Array   # (ndiag,) int32, ascending
+    values: jax.Array    # (nrows, ndiag) float
+    diag_ind: jax.Array  # (nrows + ncols - 1,) int32, -1 if absent
+    nnz: jax.Array       # 0-d int32 — nnz of the originating matrix
+    shape: Shape2 = struct.field(pytree_node=False)
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def num_diagonals(self) -> int:
+        return self.offsets.shape[0]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        m, n = self.shape
+        offs = np.asarray(self.offsets)
+        vals = np.asarray(self.values)
+        rows, cols, data = [], [], []
+        for d, off in enumerate(offs):
+            i = np.arange(m)
+            j = i + off
+            ok = (j >= 0) & (j < n)
+            rows.append(i[ok])
+            cols.append(j[ok])
+            data.append(vals[ok, d])
+        return sp.coo_matrix(
+            (np.concatenate(data),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=self.shape).tocsr()
+
+    def checksum(self) -> jax.Array:
+        return jnp.sum(self.values)
+
+
+@struct.dataclass
+class Dense:
+    """Dense fallback / MXU reference path
+    (reference: detail/format.h:7-14 DenseMatrix)."""
+
+    values: jax.Array  # (nrows, ncols)
+
+    @property
+    def shape(self) -> Shape2:
+        return tuple(self.values.shape)
+
+    @property
+    def nrows(self) -> int:
+        return self.values.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.values.shape[1]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.csr_matrix(np.asarray(self.values))
+
+    def checksum(self) -> jax.Array:
+        return jnp.sum(self.values)
+
+
+FORMAT_NAMES = ("csr", "coo", "ell", "dia", "dense")

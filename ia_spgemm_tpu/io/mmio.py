@@ -1,0 +1,223 @@
+"""MatrixMarket I/O — host side.
+
+Replaces the reference's NIST mmio C library + inline .mtx→CSR assembly
+(reference: IA-SPGEMM-CPU_release/mmio.{h,c}, main.cpp:143-458) with a
+vectorized numpy reader. Semantics preserved exactly:
+
+- real / integer / pattern fields (pattern values become 1.0, integer cast
+  to float; main.cpp:213-230); complex is rejected (main.cpp:164-168).
+- 1-based indices adjusted to 0-based (main.cpp:232-234).
+- symmetric / hermitian matrices are expanded to full storage: each
+  off-diagonal entry (i, j, v) also contributes (j, i, v)
+  (main.cpp:317-333, 373-401).
+- CSR assembly is a counting sort by row: within a row, entries keep file
+  order, with a symmetric mirror entry landing at the position of its source
+  entry's scan order (main.cpp:335-458). We reproduce this with a stable
+  sort over the interleaved (original, mirror) entry list, so the resulting
+  CSR is bit-identical in layout to the reference's.
+
+A faster C++ parser (ia_spgemm_tpu.io.native) is used automatically for
+large files when the native extension is built.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixMarketHeader:
+    object: str          # "matrix"
+    format: str          # "coordinate" | "array"
+    field: str           # "real" | "integer" | "pattern" | "complex"
+    symmetry: str        # "general" | "symmetric" | "hermitian" | "skew-symmetric"
+    nrows: int
+    ncols: int
+    nnz_stored: int      # entries in the file (before symmetric expansion)
+
+    @property
+    def is_symmetric(self) -> bool:
+        # The reference treats hermitian as symmetric (main.cpp:186).
+        return self.symmetry in ("symmetric", "hermitian")
+
+    @property
+    def is_skew(self) -> bool:
+        return self.symmetry == "skew-symmetric"
+
+
+class MatrixMarketError(ValueError):
+    pass
+
+
+def _parse_banner(line: str) -> Tuple[str, str, str, str]:
+    parts = line.strip().split()
+    if len(parts) != 5 or parts[0] != "%%MatrixMarket":
+        raise MatrixMarketError(f"bad MatrixMarket banner: {line!r}")
+    return parts[1].lower(), parts[2].lower(), parts[3].lower(), parts[4].lower()
+
+
+def read_header(path: str) -> MatrixMarketHeader:
+    with open(path, "r") as f:
+        obj, fmt, field, sym = _parse_banner(f.readline())
+        line = f.readline()
+        while line.startswith("%") or not line.strip():
+            line = f.readline()
+        dims = line.split()
+    if fmt == "coordinate":
+        nrows, ncols, nnz = int(dims[0]), int(dims[1]), int(dims[2])
+    else:
+        nrows, ncols = int(dims[0]), int(dims[1])
+        nnz = nrows * ncols
+    return MatrixMarketHeader(obj, fmt, field, sym, nrows, ncols, nnz)
+
+
+def read_mtx(path_or_file) -> Tuple[MatrixMarketHeader, np.ndarray, np.ndarray, np.ndarray]:
+    """Read a .mtx file → (header, row_idx, col_idx, values), 0-based,
+    WITHOUT symmetric expansion (raw stored entries, file order)."""
+    if hasattr(path_or_file, "read"):
+        f = path_or_file
+        close = False
+    else:
+        f = open(path_or_file, "r")
+        close = True
+    try:
+        obj, fmt, field, sym = _parse_banner(f.readline())
+        if field == "complex":
+            # Reference: "data type 'COMPLEX' is not supported" (main.cpp:166).
+            raise MatrixMarketError("data type 'COMPLEX' is not supported")
+        if fmt != "coordinate":
+            raise MatrixMarketError("only coordinate format is supported")
+        line = f.readline()
+        while line.startswith("%") or not line.strip():
+            line = f.readline()
+        dims = line.split()
+        nrows, ncols, nnz = int(dims[0]), int(dims[1]), int(dims[2])
+        body = f.read()
+    finally:
+        if close:
+            f.close()
+
+    header = MatrixMarketHeader(obj, fmt, field, sym, nrows, ncols, nnz)
+    if nnz == 0:
+        return (header, np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float64))
+
+    if field == "pattern":
+        arr = np.fromstring(body, sep=" ")
+        if arr.size != nnz * 2:
+            arr = np.loadtxt(_io.StringIO(body), ndmin=2).reshape(-1)
+        arr = arr.reshape(nnz, 2)
+        rows = arr[:, 0].astype(np.int64) - 1
+        cols = arr[:, 1].astype(np.int64) - 1
+        vals = np.ones(len(rows), dtype=np.float64)
+    else:
+        arr = np.fromstring(body, sep=" ")  # fast path
+        if arr.size != nnz * 3:
+            arr = np.loadtxt(_io.StringIO(body), ndmin=2).reshape(-1)
+        arr = arr.reshape(nnz, 3)
+        rows = arr[:, 0].astype(np.int64) - 1
+        cols = arr[:, 1].astype(np.int64) - 1
+        vals = arr[:, 2].astype(np.float64)
+        if field == "integer":
+            vals = np.trunc(vals)
+    return header, rows.astype(np.int32), cols.astype(np.int32), vals
+
+
+def expand_symmetric(header: MatrixMarketHeader,
+                     rows: np.ndarray, cols: np.ndarray, vals: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand symmetric/hermitian storage to full, in the reference's entry
+    order: the mirror (j, i, v) of each off-diagonal entry is interleaved
+    right after the original (main.cpp:373-401)."""
+    if not (header.is_symmetric or header.is_skew):
+        return rows, cols, vals
+    off = rows != cols
+    n_off = int(off.sum())
+    n_out = len(rows) + n_off
+    r = np.empty(n_out, dtype=rows.dtype)
+    c = np.empty(n_out, dtype=cols.dtype)
+    v = np.empty(n_out, dtype=vals.dtype)
+    # Destination slots: entry k goes to k + (#off-diagonal entries before k);
+    # its mirror (if any) goes right after.
+    before = np.concatenate([[0], np.cumsum(off)[:-1]])
+    dst = np.arange(len(rows)) + before
+    r[dst] = rows
+    c[dst] = cols
+    v[dst] = vals
+    mdst = dst[off] + 1
+    r[mdst] = cols[off]
+    c[mdst] = rows[off]
+    v[mdst] = -vals[off] if header.is_skew else vals[off]
+    return r, c, v
+
+
+def coo_to_csr_arrays(nrows: int, rows: np.ndarray, cols: np.ndarray,
+                      vals: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Counting sort by row, preserving in-row entry order — bit-identical to
+    the reference's two-pass scatter (main.cpp:335-458). Duplicates are kept
+    (the reference keeps them too)."""
+    order = np.argsort(rows, kind="stable")
+    counts = np.bincount(rows, minlength=nrows)
+    row_ptr = np.zeros(nrows + 1, dtype=np.int32)
+    row_ptr[1:] = np.cumsum(counts).astype(np.int32)
+    return row_ptr, cols[order].astype(np.int32), vals[order]
+
+
+def read_mtx_to_csr(path, dtype=np.float64, capacity: int | None = None,
+                    use_native: bool | None = None):
+    """Read a .mtx file to a CSR pytree, with symmetric expansion.
+
+    This is the end-to-end equivalent of the reference's load path
+    (main.cpp:143-458). Returns ia_spgemm_tpu.formats.types.CSR.
+    """
+    from ia_spgemm_tpu.formats.types import CSR
+
+    parsed = None
+    if use_native is not False:
+        try:
+            from ia_spgemm_tpu.io import native
+            if native.available():
+                parsed = native.read_mtx(str(path))
+        except Exception:
+            if use_native:
+                raise
+            parsed = None
+    if parsed is None:
+        header, rows, cols, vals = read_mtx(path)
+    else:
+        header, rows, cols, vals = parsed
+
+    rows, cols, vals = expand_symmetric(header, rows, cols, vals)
+    row_ptr, col_ind, values = coo_to_csr_arrays(header.nrows, rows, cols, vals)
+    nnz = len(col_ind)
+    cap = capacity or max(nnz, 1)
+    col_pad = np.full(cap, header.ncols, dtype=np.int32)
+    val_pad = np.zeros(cap, dtype=dtype)
+    col_pad[:nnz] = col_ind
+    val_pad[:nnz] = values.astype(dtype)
+    return CSR.from_arrays(row_ptr, col_pad, val_pad,
+                           (header.nrows, header.ncols), nnz=nnz)
+
+
+def write_mtx(path, csr, field: str = "real", comment: str | None = None):
+    """Write a CSR pytree to a MatrixMarket coordinate file (general
+    symmetry). Counterpart of mm_write_* (reference: mmio.h:48-59)."""
+    import numpy as np
+    sp = csr.to_scipy().tocoo()
+    with open(path, "w") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
+        if comment:
+            for line in comment.splitlines():
+                f.write(f"%{line}\n")
+        f.write(f"{sp.shape[0]} {sp.shape[1]} {sp.nnz}\n")
+        if field == "pattern":
+            for i, j in zip(sp.row + 1, sp.col + 1):
+                f.write(f"{i} {j}\n")
+        else:
+            for i, j, v in zip(sp.row + 1, sp.col + 1, sp.data):
+                f.write(f"{i} {j} {v:.17g}\n")
