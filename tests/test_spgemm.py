@@ -1,0 +1,167 @@
+"""SpGEMM kernel parity vs the SciPy oracle (the role MKL plays in the
+reference, main.cpp:709-765) across all formats, on synthetic fixtures and
+the reference Inputs/ suite (C = A @ A, the reference's default workload,
+README.md:10)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ia_spgemm_tpu.formats import convert
+from ia_spgemm_tpu.formats.types import CSR
+from ia_spgemm_tpu.io import mmio
+from ia_spgemm_tpu.ops import esc, dense, ell as ell_ops, dia as dia_ops, flops
+from tests import fixtures
+from tests.conftest import reference_input_paths
+
+
+def _oracle(a, b):
+    c = (a @ b).tocsr()
+    c.sum_duplicates()
+    c.sort_indices()
+    # scipy keeps explicit zeros out; keep them for exact nnz comparison?
+    # The reference's symbolic phase counts structural nnz (all touched
+    # columns), so do NOT eliminate zeros from our result; compare values.
+    return c
+
+
+def _pairs():
+    sq = fixtures.random_csr(30, 30, density=0.12, seed=10)
+    band = fixtures.banded_csr(24, bandwidth=2, seed=11)
+    rect_a = fixtures.random_csr(18, 25, density=0.15, seed=12)
+    rect_b = fixtures.random_csr(25, 9, density=0.2, seed=13)
+    empty = sp.csr_matrix((8, 8))
+    one = fixtures.random_csr(1, 1, density=1.0, seed=14)
+    return [
+        ("square_AA", sq, sq),
+        ("band_AA", band, band),
+        ("rect_AB", rect_a, rect_b),
+        ("empty", empty, empty),
+        ("one", one, one),
+        ("band_x_random", band, fixtures.random_csr(24, 24, 0.1, seed=15)),
+    ]
+
+
+def _assert_matches(ours_sp, want):
+    got = ours_sp.tocsr()
+    got.sum_duplicates()
+    got.sort_indices()
+    assert got.shape == want.shape
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) < 1e-12
+
+
+@pytest.mark.parametrize("name,a,b", _pairs())
+def test_spgemm_csr(name, a, b):
+    A, B = CSR.from_scipy(a), CSR.from_scipy(b)
+    C = esc.spgemm_csr(A, B)
+    want = _oracle(a, b)
+    _assert_matches(C.to_scipy(), want)
+    # structural nnz == oracle nnz (oracle keeps numerically-zero products?
+    # scipy drops true zeros only via eliminate_zeros; matmul keeps
+    # structural) — compare counts
+    assert int(C.nnz) == want.nnz
+
+
+@pytest.mark.parametrize("name,a,b", _pairs())
+def test_spgemm_coo(name, a, b):
+    A = convert.csr_to_coo(CSR.from_scipy(a))
+    B = convert.csr_to_coo(CSR.from_scipy(b))
+    C = esc.spgemm_coo(A, B)
+    _assert_matches(C.to_scipy(), _oracle(a, b))
+
+
+@pytest.mark.parametrize("name,a,b", _pairs())
+def test_spgemm_ell(name, a, b):
+    A = convert.csr_to_ell(CSR.from_scipy(a), check_guard=False)
+    B = convert.csr_to_ell(CSR.from_scipy(b), check_guard=False)
+    C = ell_ops.spgemm_ell(A, B)
+    _assert_matches(C.to_scipy(), _oracle(a, b))
+
+
+@pytest.mark.parametrize("name,a,b", _pairs())
+def test_spgemm_dia(name, a, b):
+    A = convert.csr_to_dia(CSR.from_scipy(a), check_guard=False)
+    B = convert.csr_to_dia(CSR.from_scipy(b), check_guard=False)
+    C = dia_ops.spgemm_dia(A, B)
+    got = np.asarray(convert.csr_to_dense(
+        CSR.from_scipy(C.to_scipy())).values)
+    want = _oracle(a, b).toarray()
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("name,a,b", _pairs())
+def test_spgemm_dense(name, a, b):
+    A, B = CSR.from_scipy(a), CSR.from_scipy(b)
+    C = dense.spgemm_dense(A, B)
+    np.testing.assert_allclose(np.asarray(C.values),
+                               (a @ b).toarray(), atol=1e-12)
+
+
+@pytest.mark.parametrize("path", reference_input_paths())
+def test_reference_inputs_A_squared(path):
+    """C = A @ A on every reference fixture matrix (square ones) across all
+    formats; rectangular ones use C = A @ A^T."""
+    A = mmio.read_mtx_to_csr(path)
+    a = A.to_scipy()
+    if A.nrows == A.ncols:
+        b = a
+        B = A
+    else:
+        b = a.T.tocsr()
+        B = convert.transpose_csr(A)
+    want = _oracle(a, b)
+
+    C = esc.spgemm_csr(A, B)
+    _assert_matches(C.to_scipy(), want)
+
+    C2 = esc.spgemm_coo(convert.csr_to_coo(A), convert.csr_to_coo(B))
+    _assert_matches(C2.to_scipy(), want)
+
+    C3 = ell_ops.spgemm_ell(convert.csr_to_ell(A, check_guard=False),
+                            convert.csr_to_ell(B, check_guard=False))
+    _assert_matches(C3.to_scipy(), want)
+
+    C4 = dia_ops.spgemm_dia(convert.csr_to_dia(A, check_guard=False),
+                            convert.csr_to_dia(B, check_guard=False))
+    got = C4.to_scipy().toarray()
+    np.testing.assert_allclose(got, want.toarray(), atol=1e-12)
+
+    # checksum (the reference's verified_sum, main.cpp:753-758)
+    np.testing.assert_allclose(float(C.checksum()), want.sum(), rtol=1e-12)
+
+
+def test_get_flop_matches_reference_formula():
+    a = fixtures.random_csr(20, 20, density=0.15, seed=20)
+    A = CSR.from_scipy(a)
+    # independent computation of sum over a_ij of nnz(B row j)
+    want = sum(int(a.indptr[j + 1] - a.indptr[j])
+               for j in a.indices)
+    assert flops.get_flop(A, A) == want
+    assert int(flops.get_flop_jit(A.col_ind, A.nnz, A.row_ptr)) == want
+    plan = esc.plan_spgemm(A, A)
+    assert plan.flops == want
+
+
+def test_plan_capacities_are_buckets_and_sufficient():
+    a = fixtures.random_csr(50, 50, density=0.1, seed=21)
+    A = CSR.from_scipy(a)
+    plan = esc.plan_spgemm(A, A)
+    assert plan.expansion_capacity >= plan.flops
+    assert (plan.expansion_capacity & (plan.expansion_capacity - 1)) == 0
+    C = esc.spgemm_csr(A, A)
+    assert int(C.nnz) <= plan.out_capacity
+
+
+def test_duplicate_entries_accumulate():
+    """The reference keeps duplicate .mtx entries and they accumulate through
+    SpGEMM; ESC must sum them."""
+    rows = np.array([0, 0, 1])
+    cols = np.array([1, 1, 0])
+    vals = np.array([2.0, 3.0, 4.0])
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(2, 2))
+    A = CSR.from_arrays(np.array([0, 2, 3]), cols, vals, (2, 2))
+    C = esc.spgemm_csr(A, A)
+    want = (a.tocsr() @ a.tocsr()).toarray()
+    got = C.to_scipy().toarray()
+    np.testing.assert_allclose(got, want)
