@@ -1,0 +1,98 @@
+"""Input-aware autotuning: features + density images -> MatNet -> algorithm.
+
+The end-to-end selection pipeline of the reference driver
+(main.cpp:512-704): extract the 26-feature vector and both 128x128 density
+images, run MatNet, map the predicted class to an algorithm.
+
+Class menu mapping: the shipped CPU weights predict over
+(MKL, CSR, DIA, ELL, COO) (README.md:5-8). In this framework the vendor
+black-box slot is the XLA dense MXU path for small matrices and the scipy
+host baseline during benchmarking; retrained ("upcycled") weights label
+classes directly with our algorithm names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ia_spgemm_tpu.formats import convert
+from ia_spgemm_tpu.formats.types import CSR
+from ia_spgemm_tpu.models import matnet, weights
+from ia_spgemm_tpu.ops import density, features
+
+# Reference CPU class index -> our algorithm menu.
+# Class 0 is the vendor baseline (MKL there, scipy-host/dense-MXU here).
+CPU_CLASS_TO_ALGORITHM = ("baseline", "csr", "dia", "ell", "coo")
+
+
+@dataclasses.dataclass
+class AutotuneResult:
+    algorithm: str
+    class_index: int
+    logits: np.ndarray
+    feature_vector: np.ndarray
+
+
+def select_algorithm(A: CSR, B: CSR,
+                     params=None,
+                     arch: Optional[dict] = None,
+                     class_menu: Sequence[str] = CPU_CLASS_TO_ALGORITHM,
+                     weight_name: str = "Intel") -> AutotuneResult:
+    """Pick the predicted-fastest algorithm for C = A @ B."""
+    if params is None:
+        params, arch = weights.import_reference_weights(weight_name)
+    if arch is None:
+        arch = weights.infer_arch(params)
+
+    fv = np.asarray(features.feature_vector(A, B), dtype=np.float64)
+    nf = arch["num_features"]
+    fv_in = fv[:nf] if len(fv) >= nf else np.pad(fv, (0, nf - len(fv)))
+
+    img1 = np.asarray(density.density_image_normalized(A))
+    img2 = np.asarray(density.density_image_normalized(B))
+
+    logits = np.asarray(matnet.predict_logits(
+        params, img1, img2, fv_in,
+        num_classes=arch["num_classes"], num_features=nf))
+    cls = int(np.argmax(logits))
+    algo = class_menu[cls] if cls < len(class_menu) else "csr"
+    return AutotuneResult(algorithm=algo, class_index=cls, logits=logits,
+                          feature_vector=fv)
+
+
+def spgemm_auto(A: CSR, B: CSR, **kwargs):
+    """Autotuned SpGEMM: select, then run. Returns (C_as_csr, AutotuneResult).
+
+    Viability guards still apply: if MatNet picks a format the size guard
+    rejects (the reference would then simply fail that algorithm), we fall
+    back to the CSR ESC path.
+    """
+    from ia_spgemm_tpu.ops import dense as dense_ops
+    from ia_spgemm_tpu.ops import dia as dia_ops
+    from ia_spgemm_tpu.ops import ell as ell_ops
+    from ia_spgemm_tpu.ops import esc
+
+    sel = select_algorithm(A, B, **kwargs)
+    algo = sel.algorithm
+    if algo == "dia":
+        Ad, Bd = convert.csr_to_dia(A), convert.csr_to_dia(B)
+        if Ad is not None and Bd is not None:
+            C = dia_ops.spgemm_dia(Ad, Bd)
+            return convert.dia_to_csr(C), sel
+        algo = "csr"
+    if algo == "ell":
+        Ae, Be = convert.csr_to_ell(A), convert.csr_to_ell(B)
+        if Ae is not None and Be is not None:
+            C = ell_ops.spgemm_ell(Ae, Be)
+            return convert.ell_to_csr(C), sel
+        algo = "csr"
+    if algo == "coo":
+        C = esc.spgemm_coo(convert.csr_to_coo(A), convert.csr_to_coo(B))
+        return convert.coo_to_csr(C), sel
+    if algo == "baseline" and A.nrows * B.ncols <= 4 * 1024 * 1024:
+        C = dense_ops.spgemm_dense(A, B)
+        return convert.dense_to_csr(C), sel
+    return esc.spgemm_csr(A, B), sel

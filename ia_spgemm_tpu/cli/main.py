@@ -1,0 +1,140 @@
+"""spgemm-run — the framework CLI.
+
+Usage (the reference driver's `./spgemm-cpu A.mtx B.mtx testing_mode`,
+main.cpp:97-140, re-expressed):
+
+    python -m ia_spgemm_tpu.cli A.mtx [B.mtx] [--mode autotune|all|ALG]
+        [--weights Intel|Amd|P100] [--testing] [--json OUT.json]
+        [--imgs-dir DIR]
+
+With one matrix the workload is C = A @ A (the reference's default,
+README.md:10). --testing prints the input matrices like the reference's
+testing_mode (main.cpp:489-497). --mode all runs the full benchmark sweep
+with the MatNet verdict; --mode autotune runs only the predicted-fastest
+algorithm; --mode <alg> forces one algorithm.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spgemm-run",
+        description="TPU-native input-aware SpGEMM (ia_spgemm_tpu)")
+    p.add_argument("matrix_a", help=".mtx file for A")
+    p.add_argument("matrix_b", nargs="?", default=None,
+                   help=".mtx file for B (default: B = A)")
+    p.add_argument("--mode", default="all",
+                   help="autotune | all | baseline|csr|coo|ell|dia|dense")
+    p.add_argument("--weights", default="Intel",
+                   help="MatNet weight set (Intel|Amd|P100|path.npz)")
+    p.add_argument("--testing", action="store_true",
+                   help="print input matrices (reference testing_mode)")
+    p.add_argument("--json", default=None, help="write JSON report here")
+    p.add_argument("--imgs-dir", default=None,
+                   help="write imgs/img1.txt, img2.txt density images "
+                        "(reference main.cpp:567-643)")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--no-matnet", action="store_true",
+                   help="skip the MatNet prediction")
+    return p
+
+
+def _print_csr(name, A):
+    import numpy as np
+    print(f"{name}: row:{A.nrows} col:{A.ncols} nnz:{int(A.nnz)}")
+    print(",".join(map(str, np.asarray(A.row_ptr))) + ",")
+    nnz = int(A.nnz)
+    print(",".join(map(str, np.asarray(A.col_ind)[:nnz])) + ",")
+    print(",".join(f"{v:.2f}" for v in np.asarray(A.values)[:nnz]) + ",")
+
+
+def enable_compilation_cache():
+    """Persist XLA compilations across processes — first-compile of the
+    MatNet convs or a large ESC shape costs minutes on a tunneled TPU."""
+    import jax
+    try:
+        cache_dir = os.path.expanduser("~/.cache/ia_spgemm_tpu/xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+
+    from ia_spgemm_tpu import autotune
+    from ia_spgemm_tpu.bench import harness, report as report_mod
+    from ia_spgemm_tpu.io import mmio
+    from ia_spgemm_tpu.ops import density
+
+    try:
+        A = mmio.read_mtx_to_csr(args.matrix_a)
+    except (OSError, mmio.MatrixMarketError) as e:
+        print(f"cannot read {args.matrix_a}: {e}", file=sys.stderr)
+        return 1
+    print(f"-------------- {args.matrix_a}, "
+          f"{args.matrix_b or args.matrix_a} --------------")
+    print(f"Weight Matrix (A): {A.nrows}x{A.ncols} nnz={int(A.nnz)}")
+    if args.matrix_b:
+        try:
+            B = mmio.read_mtx_to_csr(args.matrix_b)
+        except (OSError, mmio.MatrixMarketError) as e:
+            print(f"cannot read {args.matrix_b}: {e}", file=sys.stderr)
+            return 1
+    else:
+        B = A
+    print(f"Activation Matrix (B): {B.nrows}x{B.ncols} nnz={int(B.nnz)}")
+    if A.ncols != B.nrows:
+        print(f"shape mismatch: {A.shape} @ {B.shape}", file=sys.stderr)
+        return 2
+
+    if args.testing:
+        _print_csr("A_csr", A)
+        _print_csr("B_csr", B)
+
+    if args.imgs_dir:
+        os.makedirs(args.imgs_dir, exist_ok=True)
+        density.write_density_image(
+            os.path.join(args.imgs_dir, "img1.txt"), density.density_image(A))
+        density.write_density_image(
+            os.path.join(args.imgs_dir, "img2.txt"), density.density_image(B))
+
+    pick = None
+    if not args.no_matnet:
+        try:
+            sel = autotune.select_algorithm(A, B, weight_name=args.weights)
+            pick = sel.algorithm
+            print(f"MatNet prediction: class {sel.class_index} -> {pick}")
+        except FileNotFoundError:
+            print("MatNet weights not found; skipping prediction")
+
+    if args.mode == "autotune":
+        C, sel = autotune.spgemm_auto(A, B, weight_name=args.weights)
+        print(f"ran algorithm: {sel.algorithm}")
+        print(f"C: {C.nrows}x{C.ncols} nnz={int(C.nnz)} "
+              f"verified_sum={float(C.checksum()):.10g}")
+        return 0
+
+    algorithms = (harness.ALGORITHMS + ("dense",) if args.mode == "all"
+                  else ("baseline", args.mode))
+    rep = harness.run_benchmark(
+        A, B, algorithms,
+        matrix_a=args.matrix_a, matrix_b=args.matrix_b or args.matrix_a,
+        matnet_pick=pick, iters=args.iters)
+    print(report_mod.format_table(rep))
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(report_mod.to_json(rep))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

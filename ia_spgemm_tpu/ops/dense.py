@@ -18,7 +18,11 @@ from ia_spgemm_tpu.formats.types import CSR, Dense
 
 @jax.jit
 def _matmul(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.dot(a, b, preferred_element_type=jnp.result_type(a, b))
+    # 'highest' forces true fp32 accumulation on the MXU (default TPU matmul
+    # rounds through bf16 passes, which breaks checksum parity vs the
+    # fp64 oracle).
+    return jnp.dot(a, b, preferred_element_type=jnp.result_type(a, b),
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def spgemm_dense(A, B) -> Dense:

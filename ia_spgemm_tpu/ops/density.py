@@ -31,6 +31,10 @@ def _splat(dim: int, size: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("m", "n", "size"))
 def _density_core(row_ptr, col_ind, nnz, *, m: int, n: int, size: int):
+    # 'long long' counts in the reference (main.cpp:516); int64 when x64 is
+    # on (CPU tests, exactness), int32 on TPU (counts <= nnz always fit
+    # there for any matrix whose indices fit int32).
+    idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     cap = col_ind.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
     row = jnp.searchsorted(row_ptr, idx, side="right").astype(jnp.int32) - 1
@@ -39,18 +43,18 @@ def _density_core(row_ptr, col_ind, nnz, *, m: int, n: int, size: int):
     valid = idx < nnz
 
     # integer cell mapping (main.cpp:527-558): floor(old*128/dim)
-    i_s = (row.astype(jnp.int64) * size) // m
-    j_s = (col.astype(jnp.int64) * size) // n
+    i_s = (row.astype(idt) * size) // m
+    j_s = (col.astype(idt) * size) // n
 
     si = _splat(m, size)
     sj = _splat(n, size)
-    di = jnp.arange(si, dtype=jnp.int64)
-    dj = jnp.arange(sj, dtype=jnp.int64)
+    di = jnp.arange(si, dtype=idt)
+    dj = jnp.arange(sj, dtype=idt)
     ii = i_s[:, None, None] + di[None, :, None]      # (cap, si, 1)
     jj = j_s[:, None, None] + dj[None, None, :]      # (cap, 1, sj)
     ok = (valid[:, None, None] & (ii < size) & (jj < size))
     flat = jnp.where(ok, ii * size + jj, size * size)
-    img = jnp.zeros(size * size + 1, dtype=jnp.int64)
+    img = jnp.zeros(size * size + 1, dtype=idt)
     img = img.at[flat.reshape(-1)].add(1)
     return img[:-1].reshape(size, size)
 

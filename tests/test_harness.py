@@ -1,0 +1,105 @@
+"""Benchmark harness + CLI end-to-end tests (CPU backend, fp64)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from ia_spgemm_tpu.bench import harness, report as report_mod
+from ia_spgemm_tpu.formats.types import CSR
+from tests import fixtures
+
+
+def test_run_benchmark_all_algorithms():
+    a = fixtures.banded_csr(30, bandwidth=2, seed=40)
+    A = CSR.from_scipy(a)
+    rep = harness.run_benchmark(A, A, ("baseline", "csr", "dia", "ell",
+                                       "coo", "dense"), iters=1)
+    names = {r.name: r for r in rep.results}
+    assert names["baseline"].ok
+    for alg in ("csr", "dia", "ell", "coo", "dense"):
+        assert names[alg].ok, f"{alg}: {names[alg].error}"
+        assert not names[alg].error, names[alg].error
+        # checksums agree with the oracle baseline
+        np.testing.assert_allclose(names[alg].verified_sum,
+                                   names["baseline"].verified_sum,
+                                   rtol=1e-9)
+        assert names[alg].gflops >= 0
+    assert rep.winner
+    assert rep.flops > 0
+
+
+def test_viability_guard_skips_in_harness():
+    import scipy.sparse as sp
+    n = 3000
+    k = np.arange(60)
+    rows = k * 50
+    cols = (rows + 31 * k) % n  # 60 distinct diagonals
+    a = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    A = CSR.from_scipy(a)
+    rep = harness.run_benchmark(A, A, ("baseline", "dia"), iters=1)
+    dia = rep.by_name("dia")
+    assert dia.skipped and not dia.ok
+
+
+def test_matnet_verdict_line():
+    a = fixtures.banded_csr(12, bandwidth=1, seed=41)
+    A = CSR.from_scipy(a)
+    rep = harness.run_benchmark(A, A, ("baseline", "csr"), iters=1,
+                                matnet_pick="csr")
+    assert rep.matnet_pick == "csr"
+    assert rep.matnet_correct in (True, False)
+    table = report_mod.format_table(rep)
+    assert "MatNet" in table
+    parsed = json.loads(report_mod.to_json(rep))
+    assert parsed["matnet_pick"] == "csr"
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from ia_spgemm_tpu.cli.main import main
+    path = fixtures.mtx_file(tmp_path, "symmetric_real")
+    out_json = tmp_path / "report.json"
+    imgs = tmp_path / "imgs"
+    rc = main([path, "--mode", "all", "--iters", "1",
+               "--json", str(out_json), "--imgs-dir", str(imgs),
+               "--testing"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "Fastest algorithm" in captured
+    assert (imgs / "img1.txt").exists()
+    rep = json.loads(out_json.read_text())
+    assert rep["winner"]
+    assert any(r["name"] == "csr" and r["ok"] for r in rep["results"])
+
+
+def test_cli_autotune_mode(tmp_path, capsys):
+    from ia_spgemm_tpu.cli.main import main
+    path = fixtures.mtx_file(tmp_path, "general_real")
+    rc = main([path, "--mode", "autotune"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ran algorithm" in out
+
+
+def test_cli_shape_mismatch(tmp_path):
+    from ia_spgemm_tpu.cli.main import main
+    pa = fixtures.mtx_file(tmp_path, "rect_real")        # 6x4
+    pb = fixtures.mtx_file(tmp_path, "integer_general")  # 4x3 — ok
+    assert main([pa, pb, "--mode", "csr", "--no-matnet", "--iters", "1"]) == 0
+    pc = fixtures.mtx_file(tmp_path, "pattern_general")  # 3x7 — mismatch
+    assert main([pc, pa, "--no-matnet"]) == 2
+
+
+def test_autotune_spgemm_matches_oracle():
+    from ia_spgemm_tpu import autotune
+    a = fixtures.banded_csr(16, bandwidth=1, seed=42)
+    A = CSR.from_scipy(a)
+    try:
+        C, sel = autotune.spgemm_auto(A, A)
+    except FileNotFoundError:
+        pytest.skip("weights unavailable")
+    want = (a @ a).tocsr()
+    got = C.to_scipy()
+    assert abs(got - want).max() < 1e-10
+    assert sel.algorithm in ("baseline", "csr", "dia", "ell", "coo")
