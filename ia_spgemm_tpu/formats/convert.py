@@ -24,6 +24,7 @@ import numpy as np
 
 from ia_spgemm_tpu import config as cfg
 from ia_spgemm_tpu.formats.types import CSR, COO, DIA, ELL, Dense
+from ia_spgemm_tpu.utils import scans as scan_utils
 
 
 # --------------------------------------------------------------------------
@@ -73,8 +74,7 @@ def coo_viable(nrows, nnz, ratio: float = cfg.SIZE_GUARD_RATIO_CPU) -> bool:
 @functools.partial(jax.jit, static_argnames=("capacity", "nrows"))
 def _csr_to_coo_fill(row_ptr, col_ind, values, nnz, *, capacity, nrows):
     idx = jnp.arange(capacity, dtype=jnp.int32)
-    # row of entry t: number of row_ptr boundaries <= t, minus 1
-    row_ind = jnp.searchsorted(row_ptr, idx, side="right").astype(jnp.int32) - 1
+    row_ind = scan_utils.entry_rows(row_ptr, capacity)
     row_ind = jnp.where(idx < nnz, row_ind, nrows)
     return row_ind
 
@@ -107,7 +107,7 @@ def plan_ell_width(A: CSR) -> int:
 def _csr_to_ell_fill(row_ptr, col_ind, values, nnz, *, width, nrows):
     cap = col_ind.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
-    row = jnp.searchsorted(row_ptr, idx, side="right").astype(jnp.int32) - 1
+    row = scan_utils.entry_rows(row_ptr, cap)
     slot = idx - row_ptr[jnp.clip(row, 0, nrows - 1)]
     valid = idx < nnz
     flat = jnp.clip(row, 0, nrows - 1) * width + slot
@@ -180,8 +180,7 @@ def _csr_to_dia_fill(row_ptr, col_ind, values, nnz, offsets,
                      *, num_diagonals, nrows, ncols):
     cap = col_ind.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
-    row = jnp.searchsorted(row_ptr, idx, side="right").astype(jnp.int32) - 1
-    row = jnp.clip(row, 0, nrows - 1)
+    row = jnp.clip(scan_utils.entry_rows(row_ptr, cap), 0, nrows - 1)
     off = col_ind - row
     slot = jnp.searchsorted(offsets, off).astype(jnp.int32)
     slot = jnp.clip(slot, 0, num_diagonals - 1)
@@ -226,8 +225,7 @@ def dia_to_csr(A: DIA, capacity: int | None = None) -> CSR:
 def _csr_to_dense_fill(row_ptr, col_ind, values, nnz, *, nrows, ncols):
     cap = col_ind.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
-    row = jnp.searchsorted(row_ptr, idx, side="right").astype(jnp.int32) - 1
-    row = jnp.clip(row, 0, nrows - 1)
+    row = jnp.clip(scan_utils.entry_rows(row_ptr, cap), 0, nrows - 1)
     valid = idx < nnz
     flat = jnp.where(valid, row * ncols + jnp.clip(col_ind, 0, ncols - 1),
                      nrows * ncols)

@@ -37,8 +37,8 @@ def _density_core(row_ptr, col_ind, nnz, *, m: int, n: int, size: int):
     idt = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     cap = col_ind.shape[0]
     idx = jnp.arange(cap, dtype=jnp.int32)
-    row = jnp.searchsorted(row_ptr, idx, side="right").astype(jnp.int32) - 1
-    row = jnp.clip(row, 0, m - 1)
+    from ia_spgemm_tpu.utils import scans as scan_utils
+    row = jnp.clip(scan_utils.entry_rows(row_ptr, cap), 0, m - 1)
     col = jnp.clip(col_ind, 0, n - 1)
     valid = idx < nnz
 

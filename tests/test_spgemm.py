@@ -148,7 +148,13 @@ def test_plan_capacities_are_buckets_and_sufficient():
     A = CSR.from_scipy(a)
     plan = esc.plan_spgemm(A, A)
     assert plan.expansion_capacity >= plan.flops
-    assert (plan.expansion_capacity & (plan.expansion_capacity - 1)) == 0
+    # geometric bucket: mantissa in {8,10,12,14,16} x power of two
+    cap = plan.expansion_capacity
+    base = cap
+    while base % 2 == 0:
+        base //= 2
+    assert base in (1, 3, 5, 7)
+    assert plan.expansion_capacity <= max(plan.flops * 1.25, 8)
     C = esc.spgemm_csr(A, A)
     assert int(C.nnz) <= plan.out_capacity
 
