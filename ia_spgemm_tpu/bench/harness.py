@@ -258,6 +258,18 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
 
         def compute(ab):
             return dense_ops.spgemm_dense(ab[0], ab[1])
+    elif name == "dense_row":
+        from ia_spgemm_tpu.ops import dense_row as dr_ops
+        if B.ncols > dr_ops.MAX_N_F32 or csr_to_ell_probe(A, ratio) is None:
+            res.skipped = True
+            return None
+
+        def convert_fn():
+            return (convert.csr_to_ell(A, check_guard=False),
+                    convert.csr_to_dense(B))
+
+        def compute(ab):
+            return dr_ops.spgemm_dense_row(ab[0], ab[1])
     else:
         raise ValueError(f"unknown algorithm {name!r}")
 
