@@ -50,11 +50,13 @@ def main():
     plan = esc.plan_spgemm(A, A)
 
     # --- baseline: scipy CSR @ CSR on the host (vendor-library role) ---
-    t0 = time.perf_counter()
     c_ref = a @ a
-    t1 = time.perf_counter()
-    c_ref2 = a @ a
-    scipy_ms = min(t1 - t0, time.perf_counter() - t1) * 1e3
+    scipy_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        scipy_times.append((time.perf_counter() - t0) * 1e3)
+    scipy_ms = float(np.median(scipy_times))
 
     # --- ours: ESC SpGEMM on the TPU ---
     def run():
@@ -73,6 +75,11 @@ def main():
     got_sum = float(C.checksum())
     rel = abs(got_sum - ref_sum) / max(1.0, abs(ref_sum))
 
+    from ia_spgemm_tpu.bench import roofline
+    cost = roofline.cost_esc(plan.expansion_capacity, int(A.nnz),
+                             int(A.nnz), int(C.nnz))
+    roof = roofline.analyze(ours_ms, cost)
+
     gflops = 2.0 * plan.flops / (ours_ms * 1e6)
     result = {
         "metric": "spgemm_csr_gflops",
@@ -87,6 +94,7 @@ def main():
             "scipy_ms": round(scipy_ms, 3),
             "checksum_rel_err": rel,
             "device": str(jax.devices()[0]),
+            "roofline": roof,
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,123 @@
+"""Upcycling MatNet: retrain the selector on OUR algorithm menu from
+measured TPU timings.
+
+The reference ships only pretrained weights for its MKL/CSR/DIA/ELL/COO
+menu (no training code in the tree); this module closes the loop:
+
+  matrices -> benchmark harness (empirical winner per matrix)
+           -> (density images, features, winner label) dataset
+           -> fine-tune / retrain MatNet -> new class menu = our algorithms.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ia_spgemm_tpu.bench import harness
+from ia_spgemm_tpu.formats.types import CSR
+from ia_spgemm_tpu.models import matnet, train as train_mod, weights
+from ia_spgemm_tpu.ops import density, features
+
+DEFAULT_MENU = ("baseline", "csr", "dia", "ell", "coo")
+
+
+@dataclasses.dataclass
+class Sample:
+    img1: np.ndarray       # (128, 128) normalized
+    img2: np.ndarray
+    feats: np.ndarray      # (26,)
+    label: int             # index into the menu
+    winner: str
+    matrix_name: str = ""
+
+
+def harvest_sample(A: CSR, B: CSR, menu: Sequence[str] = DEFAULT_MENU,
+                   name: str = "", iters: int = 2) -> Optional[Sample]:
+    """Benchmark all menu algorithms on (A, B); label = empirical winner."""
+    rep = harness.run_benchmark(A, B, tuple(menu), iters=iters,
+                                matrix_a=name, matrix_b=name)
+    if not rep.winner:
+        return None
+    fv = np.asarray(features.feature_vector(A, B), dtype=np.float32)
+    img1 = np.asarray(density.density_image_normalized(A), dtype=np.float32)
+    img2 = np.asarray(density.density_image_normalized(B), dtype=np.float32)
+    return Sample(img1=img1, img2=img2, feats=fv,
+                  label=list(menu).index(rep.winner), winner=rep.winner,
+                  matrix_name=name)
+
+
+def dataset_from_samples(samples: List[Sample], batch_size: int,
+                         seed: int = 0):
+    """Infinite batch iterator over harvested samples (with replacement)."""
+    rng = np.random.default_rng(seed)
+    n = len(samples)
+    while True:
+        idx = rng.integers(0, n, batch_size)
+        yield (np.stack([samples[i].img1 for i in idx])[..., None],
+               np.stack([samples[i].img2 for i in idx])[..., None],
+               np.stack([samples[i].feats for i in idx]),
+               np.array([samples[i].label for i in idx], np.int32))
+
+
+def upcycle(samples: List[Sample],
+            menu: Sequence[str] = DEFAULT_MENU,
+            init_from: Optional[str] = "Intel",
+            steps: int = 200, batch_size: int = 16,
+            learning_rate: float = 1e-3, seed: int = 0):
+    """Retrain MatNet on harvested samples. Starts from the reference's
+    shipped weights when the architecture matches (warm start), else from
+    random init. Returns (params, history, menu)."""
+    params = None
+    if init_from is not None:
+        try:
+            params, arch = weights.import_reference_weights(init_from)
+            if arch["num_classes"] != len(menu) or arch["num_features"] != 26:
+                params = None
+        except FileNotFoundError:
+            params = None
+    cfg = train_mod.TrainConfig(num_classes=len(menu), num_features=26,
+                                learning_rate=learning_rate,
+                                batch_size=batch_size, steps=steps,
+                                seed=seed)
+    ds = dataset_from_samples(samples, batch_size, seed=seed)
+    params, history = train_mod.train(ds, cfg, params=params,
+                                      log=lambda *_: None)
+    return params, history, tuple(menu)
+
+
+def evaluate_pick_accuracy(params, samples: List[Sample],
+                           menu: Sequence[str] = DEFAULT_MENU) -> float:
+    """Fraction of samples where MatNet picks the empirical winner — the
+    aggregated version of the reference's per-run Correct/Incorrect verdict
+    (main.cpp:994-999)."""
+    hits = 0
+    for s in samples:
+        cls = matnet.predict_class(params, s.img1, s.img2, s.feats,
+                                   num_classes=len(menu), num_features=26)
+        hits += int(cls == s.label)
+    return hits / max(len(samples), 1)
+
+
+def save_samples(path: str, samples: List[Sample]) -> None:
+    np.savez_compressed(
+        path,
+        img1=np.stack([s.img1 for s in samples]),
+        img2=np.stack([s.img2 for s in samples]),
+        feats=np.stack([s.feats for s in samples]),
+        labels=np.array([s.label for s in samples], np.int32),
+        winners=json.dumps([s.winner for s in samples]),
+        names=json.dumps([s.matrix_name for s in samples]))
+
+
+def load_samples(path: str) -> List[Sample]:
+    d = np.load(path, allow_pickle=False)
+    winners = json.loads(str(d["winners"]))
+    names = json.loads(str(d["names"]))
+    return [Sample(img1=d["img1"][i], img2=d["img2"][i],
+                   feats=d["feats"][i], label=int(d["labels"][i]),
+                   winner=winners[i], matrix_name=names[i])
+            for i in range(len(winners))]

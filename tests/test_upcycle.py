@@ -1,0 +1,67 @@
+"""Upcycle pipeline: harvest winners -> retrain -> pick accuracy, plus the
+roofline analyzer and synthetic suite generators."""
+
+import numpy as np
+import pytest
+
+from ia_spgemm_tpu.bench import roofline
+from ia_spgemm_tpu.formats.types import CSR
+from ia_spgemm_tpu.io import suitesparse
+from ia_spgemm_tpu.models import upcycle
+
+
+def test_roofline_analyze():
+    cost = roofline.cost_esc(expansion=10_000_000, nnz_a=500_000,
+                             nnz_b=500_000, nnz_c=7_000_000)
+    out = roofline.analyze(100.0, cost, chip=roofline.TPU_V5E)
+    assert out["bound"] == "memory"  # SpGEMM is bandwidth-bound
+    assert 0 < out["pct_hbm_peak"] < 100
+    assert out["speed_of_light_ms"] < 100.0
+    assert out["pct_of_sol"] == pytest.approx(
+        100 * out["speed_of_light_ms"] / 100.0, abs=0.01)
+
+
+def test_synthetic_suite_shapes():
+    suite = dict(suitesparse.synthetic_suite(m=64, seeds=(0,)))
+    assert len(suite) == 4
+    for name, mat in suite.items():
+        assert mat.shape == (64, 64)
+        assert mat.nnz > 0
+
+
+def test_local_collection_fetch():
+    coll = suitesparse.local_collection()
+    if not coll:
+        pytest.skip("reference Inputs not mounted")
+    A = suitesparse.fetch("dia")
+    assert A.shape == (4, 4)
+    with pytest.raises(FileNotFoundError, match="egress"):
+        suitesparse.fetch("not_a_matrix")
+
+
+def test_harvest_and_upcycle_roundtrip(tmp_path):
+    samples = []
+    for name, mat in suitesparse.synthetic_suite(m=48, seeds=(0, 1)):
+        A = CSR.from_scipy(mat)
+        s = upcycle.harvest_sample(A, A, menu=("baseline", "csr"),
+                                   name=name, iters=1)
+        assert s is not None
+        assert s.winner in ("baseline", "csr")
+        samples.append(s)
+    assert len(samples) == 8
+
+    # save/load roundtrip
+    p = tmp_path / "samples.npz"
+    upcycle.save_samples(str(p), samples)
+    back = upcycle.load_samples(str(p))
+    assert len(back) == len(samples)
+    np.testing.assert_array_equal(back[0].img1, samples[0].img1)
+
+    # retraining runs and produces a 2-class head
+    params, history, menu = upcycle.upcycle(
+        samples, menu=("baseline", "csr"), init_from=None, steps=10,
+        batch_size=4)
+    assert params["head"]["kernel"].shape[1] == 2
+    acc = upcycle.evaluate_pick_accuracy(params, samples,
+                                         menu=("baseline", "csr"))
+    assert 0.0 <= acc <= 1.0
