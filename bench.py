@@ -40,14 +40,15 @@ def main():
     import jax
 
     from ia_spgemm_tpu.cli.main import enable_compilation_cache
+    from ia_spgemm_tpu.formats import convert
     from ia_spgemm_tpu.formats.types import CSR
-    from ia_spgemm_tpu.ops import esc
+    from ia_spgemm_tpu.ops import bitonic, esc
 
     enable_compilation_cache()
 
     a = build_matrix()
     A = CSR.from_scipy(a.astype(np.float32))
-    plan = esc.plan_spgemm(A, A)
+    esc_plan = esc.plan_spgemm(A, A)
 
     # --- baseline: scipy CSR @ CSR on the host (vendor-library role) ---
     c_ref = a @ a
@@ -58,9 +59,19 @@ def main():
         scipy_times.append((time.perf_counter() - t0) * 1e3)
     scipy_ms = float(np.median(scipy_times))
 
-    # --- ours: ESC SpGEMM on the TPU ---
-    def run():
-        return esc.spgemm_csr(A, A, plan)
+    # --- ours: row-local bitonic kernel (ELL pair), ESC fallback ---
+    A_ell = convert.csr_to_ell(A, check_guard=False)
+    bt_plan = bitonic.plan_bitonic(A_ell, A_ell)
+    if bt_plan.viable:
+        algorithm = "bitonic"
+
+        def run():
+            return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan)
+    else:
+        algorithm = "esc"
+
+        def run():
+            return esc.spgemm_csr(A, A, esc_plan)
 
     C = jax.block_until_ready(run())  # compile + first run
     times = []
@@ -76,19 +87,23 @@ def main():
     rel = abs(got_sum - ref_sum) / max(1.0, abs(ref_sum))
 
     from ia_spgemm_tpu.bench import roofline
-    cost = roofline.cost_esc(plan.expansion_capacity, int(A.nnz),
-                             int(A.nnz), int(C.nnz))
+    if algorithm == "bitonic":
+        cost = roofline.cost_bitonic(A.nrows, bt_plan.width, int(A.nnz))
+    else:
+        cost = roofline.cost_esc(esc_plan.expansion_capacity, int(A.nnz),
+                                 int(A.nnz), int(C.nnz))
     roof = roofline.analyze(ours_ms, cost)
 
-    gflops = 2.0 * plan.flops / (ours_ms * 1e6)
+    gflops = 2.0 * esc_plan.flops / (ours_ms * 1e6)
     result = {
-        "metric": "spgemm_csr_gflops",
+        "metric": "spgemm_gflops",
         "value": round(gflops, 4),
         "unit": "GFLOPS",
         "vs_baseline": round(scipy_ms / ours_ms, 4),
         "detail": {
+            "algorithm": algorithm,
             "m": A.nrows, "nnz": int(A.nnz),
-            "intermediate_products": plan.flops,
+            "intermediate_products": esc_plan.flops,
             "nnz_out": int(C.nnz),
             "ours_ms": round(ours_ms, 3),
             "scipy_ms": round(scipy_ms, 3),

@@ -270,6 +270,21 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
 
         def compute(ab):
             return dr_ops.spgemm_dense_row(ab[0], ab[1])
+    elif name == "bitonic":
+        from ia_spgemm_tpu.formats.convert import plan_ell_width
+        from ia_spgemm_tpu.ops import bitonic as bt_ops
+        plan = bt_ops.plan_bitonic_dims(
+            A.nrows, plan_ell_width(A), plan_ell_width(B))
+        if not plan.viable:
+            res.skipped = True
+            return None
+
+        def convert_fn():
+            return (convert.csr_to_ell(A, check_guard=False),
+                    convert.csr_to_ell(B, check_guard=False))
+
+        def compute(ab):
+            return bt_ops.spgemm_bitonic(ab[0], ab[1], plan)
     else:
         raise ValueError(f"unknown algorithm {name!r}")
 
@@ -304,7 +319,7 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         res.memory_bytes = (convert.sizeof_csr(C.nrows, int(C.nnz))
                             if name == "csr"
                             else convert.sizeof_coo(C.nrows, int(C.nnz)))
-    elif name == "ell":
+    elif name in ("ell", "bitonic"):
         res.memory_bytes = convert.sizeof_ell(C.nrows, C.max_nnz_per_row)
     elif name == "dia":
         res.memory_bytes = convert.sizeof_dia(C.nrows, C.ncols,

@@ -83,6 +83,17 @@ def cost_dia(m: int, nd_a: int, nd_b: int, nd_c: int,
                       bytes=m * (nd_a + nd_b + nd_c) * value_bytes)
 
 
+def cost_bitonic(m: int, width: int, nnz_a: int,
+                 value_bytes: int = 4, index_bytes: int = 4) -> KernelCost:
+    """Row-local bitonic SpGEMM: the expand gather reads one packed B run
+    per A entry and writes the (m, width) product buffer; the Pallas kernel
+    reads it once, sorts in VMEM, writes the (m, width) ELL result."""
+    entry = value_bytes + index_bytes
+    buf = m * width * entry
+    return KernelCost(flops=2.0 * m * width,
+                      bytes=nnz_a * entry + buf * 3)
+
+
 def cost_ell(m: int, ka: int, kb: int, kc: int,
              value_bytes: int = 4, index_bytes: int = 4) -> KernelCost:
     entry = value_bytes + index_bytes

@@ -1,0 +1,313 @@
+"""Row-local bitonic SpGEMM — the flagship TPU kernel.
+
+C = A @ B with both operands ELL. The reference's row-wise kernels
+accumulate each output row independently (CSR linked lists,
+csr/common_csr.h:130-189; ELL masks, ell/common_ell.h:134-187; COO linear
+probing, coo/common_coo.h:124-159). The TPU-native form of "one output row
+at a time" is: materialize each row's intermediate products into a fixed
+lane width, then sort-and-compress the row ENTIRELY IN VMEM with a bitonic
+network — compare-exchange is pure VPU work (lane rotates + selects), so
+the only HBM traffic is one read of the products and one write of the
+result.
+
+This sidesteps the two TPU costs that bound the global-sort ESC path
+(ops/esc.py): per-element random access (~9 ns/element on v5e — here B is
+fetched with ONE row-gather per A entry at ~10 ns per ROW of Kb elements)
+and the O(E log E) global XLA sort (~6 ns/element — here each row's
+products sort at VPU throughput without leaving VMEM).
+
+Pipeline:
+  1. expand (XLA): row-gather B's ELL rows at A's column indices from a
+     single 2-D packed (col|value-bits) table with FLAT indices (the 3-D
+     gather form costs ~50x more), outer-multiply by A's values, pad each
+     B-run to a pow2 length and REVERSE every odd run -> the (m, width)
+     product rows arrive as alternating ascending/descending sorted runs.
+  2. sort (Pallas): the bitonic network starts at round 2*run — the first
+     log2(run) rounds are skipped because step 1 pre-sorted the runs.
+  3. compress (Pallas): a segmented scan sums duplicate runs; survivors
+     are compacted left with an omega-network route (log2(width) stages,
+     LSB->MSB; monotone destinations self-route without collisions) —
+     ~5x fewer stages than a second bitonic sort.
+
+Viability: m*width values must fit the product-buffer budget and width
+<= 16384 lanes; the planner rejects skewed matrices (huge Ka*Kb) — the
+role the reference's 50x size guards play (dia/common_dia.h:56) — and the
+autotuner falls back to the ESC path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ia_spgemm_tpu.formats.types import ELL
+
+SENTINEL = np.int32(np.iinfo(np.int32).max)
+
+# per-tile VMEM element budget (keys+values+temps for ~10 live (R, Wp)
+# arrays at 4 B each; 256K elements OOM'd the 16 MB scoped VMEM)
+_TILE_ELEMS = 64 * 1024
+MAX_WIDTH = 16384
+# product-buffer budget: m * Wp * 8 bytes (key + value)
+PRODUCT_BUDGET_BYTES = 4 << 30
+
+
+@dataclasses.dataclass(frozen=True)
+class BitonicPlan:
+    width: int        # Wp — padded products per row (pow2, >=128)
+    run: int          # pow2-padded B-run length (sorted-run size)
+    tile_rows: int    # R — rows per Pallas tile
+    viable: bool
+    reason: str = ""
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def plan_bitonic_dims(m: int, ka: int, kb: int) -> BitonicPlan:
+    """Plan from dimensions only (probe before converting to ELL)."""
+    run = max(1, _next_pow2(kb))
+    width = max(128, _next_pow2(ka * run))
+    run = min(run, width)
+    if width > MAX_WIDTH:
+        return BitonicPlan(width, run, 8, False,
+                           f"Ka*run={ka * run} exceeds {MAX_WIDTH} lanes")
+    if m * width * 8 > PRODUCT_BUDGET_BYTES:
+        return BitonicPlan(width, run, 8, False,
+                           f"m*Wp*8={m * width * 8} exceeds "
+                           f"product budget {PRODUCT_BUDGET_BYTES}")
+    tile_rows = max(8, min(512, _TILE_ELEMS // width))
+    return BitonicPlan(width, run, tile_rows, True)
+
+
+def plan_bitonic(A: ELL, B: ELL) -> BitonicPlan:
+    return plan_bitonic_dims(A.nrows, A.max_nnz_per_row, B.max_nnz_per_row)
+
+
+def _compare_exchange(k, v, lane, s, asc):
+    """One bitonic compare-exchange at (possibly traced) stride s along the
+    lane axis.
+
+    XOR-partner access via two cyclic rolls + select: for (lane & s)==0
+    the partner sits at +s, else at -s (always within the row — the
+    wrapped lanes are never selected). Mosaic lowers traced shifts to
+    tpu.dynamic_rotate, so strides may be loop-carried."""
+    up = (lane & s) == 0
+    width = k.shape[1]
+    kf, kb_ = pltpu.roll(k, width - s, axis=1), pltpu.roll(k, s, axis=1)
+    vf, vb = pltpu.roll(v, width - s, axis=1), pltpu.roll(v, s, axis=1)
+    pk = jnp.where(up, kf, kb_)
+    pv = jnp.where(up, vf, vb)
+    want_small = asc == up
+    take = (want_small & (pk < k)) | (~want_small & (pk > k))
+    return jnp.where(take, pk, k), jnp.where(take, pv, v)
+
+
+def _bitonic_sort(k, v, lane, width: int, start_kk: int = 2):
+    """Ascending in-row bitonic sort of (k, v) pairs over the lane axis.
+
+    start_kk: the first merge round — pass 2*run when the rows arrive as
+    alternating-direction sorted runs of that length (skips the first
+    log2(run) rounds). Runs the compare-exchange stages in a fori_loop with
+    LOOP-CARRIED (kk, s) strides — a fully unrolled network compiles in
+    O(stages * registers) and was measured at minutes of Mosaic compile
+    time for w >= 512; the dynamic form compiles in seconds at any width.
+    """
+    log_w = width.bit_length() - 1
+    log_start = start_kk.bit_length() - 1   # rounds skipped: 1..log_start-1
+    n_stages = log_w * (log_w + 1) // 2 - (log_start - 1) * log_start // 2
+    if n_stages <= 0 or start_kk > width:
+        return k, v
+
+    def body(_, carry):
+        k, v, kk, s = carry
+        asc = (lane & kk) == 0
+        k, v = _compare_exchange(k, v, lane, s, asc)
+        nkk = jnp.where(s == 1, kk * 2, kk)
+        ns = jnp.where(s == 1, kk, s // 2)
+        return k, v, nkk, ns
+
+    k, v, _, _ = jax.lax.fori_loop(
+        0, n_stages, body,
+        (k, v, jnp.int32(start_kk), jnp.int32(start_kk // 2)))
+    return k, v
+
+
+def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
+            *, width: int, start_kk: int):
+    R = key_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, width), 1)
+    log_w = width.bit_length() - 1
+    k = key_ref[:]
+    v = val_ref[:]
+
+    # ---- 1. sort each row by column key (invalid slots carry SENTINEL,
+    # so they sink to the row tail) ----
+    k, v = _bitonic_sort(k, v, lane, width, start_kk)
+
+    # ---- 2. duplicate-run sums: segmented inclusive scan (log2 Wp
+    # roll-add steps, resetting at run heads) ----
+    head = (lane == 0) | (k != pltpu.roll(k, 1, axis=1))
+
+    def scan_body(t, carry):
+        s, f = carry
+        d = jnp.int32(1) << t
+        edge = lane < d
+        s_sh = jnp.where(edge, jnp.zeros_like(s), pltpu.roll(s, d, axis=1))
+        f_sh = jnp.where(edge, 1, pltpu.roll(f, d, axis=1))
+        s = jnp.where(f > 0, s, s + s_sh)
+        return s, f | f_sh
+
+    # flags as i32 (Mosaic can't rotate i1); log2(w) doubling steps
+    s, _ = jax.lax.fori_loop(
+        0, log_w, scan_body, (v, head.astype(jnp.int32)))
+
+    is_last = ((lane == width - 1) | (k != pltpu.roll(k, width - 1, axis=1)))
+    emit = is_last & (k != SENTINEL)
+    nnz_ref[:] = jnp.sum(emit.astype(jnp.int32), axis=1, keepdims=True)
+
+    # ---- 3. compact survivors left: omega-network self-routing. Each
+    # survivor's destination is its rank among survivors (order-preserving,
+    # distinct), so routing destination bits LSB->MSB is collision-free —
+    # log2(w) exchange stages instead of a second full bitonic sort. ----
+    def rank_body(t, r):
+        d = jnp.int32(1) << t
+        return r + jnp.where(lane < d, 0, pltpu.roll(r, d, axis=1))
+
+    rank = jax.lax.fori_loop(0, log_w, rank_body, emit.astype(jnp.int32))
+
+    k2 = jnp.where(emit, k, SENTINEL)
+    v2 = jnp.where(emit, s, jnp.zeros_like(s))
+    # dest packed with occupancy: -1 == empty slot
+    dest = jnp.where(emit, rank - 1, -1)
+
+    def route_body(t, carry):
+        k2, v2, dest = carry
+        bit = jnp.int32(1) << t
+        up = (lane & bit) == 0  # partner at +bit, else -bit
+        back = width - bit
+
+        def partner(x):
+            return jnp.where(up, pltpu.roll(x, back, axis=1),
+                             pltpu.roll(x, bit, axis=1))
+
+        pd = partner(dest)
+        pk = partner(k2)
+        pv = partner(v2)
+        crossing = (dest >= 0) & (((lane ^ dest) & bit) > 0)
+        p_crossing = (pd >= 0) & (((lane ^ pd) & bit) == 0)
+        # partner crosses INTO this lane iff its dest bit matches ours
+        keep = (dest >= 0) & ~crossing
+        nk = jnp.where(p_crossing, pk, jnp.where(keep, k2, SENTINEL))
+        nv = jnp.where(p_crossing, pv, jnp.where(keep, v2,
+                                                 jnp.zeros_like(v2)))
+        nd = jnp.where(p_crossing, pd, jnp.where(keep, dest, -1))
+        return nk, nv, nd
+
+    k2, v2, _ = jax.lax.fori_loop(0, log_w, route_body, (k2, v2, dest))
+
+    out_col_ref[:] = jnp.where(k2 == SENTINEL, -1, k2)
+    out_val_ref[:] = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "start_kk", "tile_rows",
+                                    "interpret"))
+def _sort_compress_rows(key, val, *, width: int, start_kk: int,
+                        tile_rows: int, interpret: bool):
+    m = key.shape[0]
+    grid = (pl.cdiv(m, tile_rows),)
+    tile = lambda w: pl.BlockSpec(  # noqa: E731
+        (tile_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, width=width, start_kk=start_kk),
+        grid=grid,
+        in_specs=[tile(width), tile(width)],
+        out_specs=(tile(width), tile(width), tile(1)),
+        out_shape=(jax.ShapeDtypeStruct((m, width), jnp.int32),
+                   jax.ShapeDtypeStruct((m, width), val.dtype),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+        interpret=interpret,
+    )(key, val)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "run"))
+def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int):
+    """Row-gather B's ELL rows at A's columns; outer-multiply.
+
+    Returns (m, width) product keys and values where each A-entry's
+    products form a sorted run of length `run` (SENTINEL-padded), with
+    every odd run REVERSED — the alternating-direction layout the bitonic
+    network needs to skip its first log2(run) rounds.
+
+    The reversal is baked into the GATHER: the packed B table is doubled
+    with pre-reversed rows and odd A-entries index the reversed half.
+    (Reversing the gathered (m, ka, run) products with flip+where
+    miscompiles on TPU at large m — odd runs came back all-SENTINEL — so
+    the per-product arrays are never flipped.)
+    """
+    m, ka = a_col.shape
+    k, kb = b_col.shape
+    # pad B rows to the pow2 run length, build forward + reversed tables
+    bc_p = jnp.pad(b_col, ((0, 0), (0, run - kb)), constant_values=-1)
+    bv_p = jnp.pad(b_val, ((0, 0), (0, run - kb)))
+    parity = (jax.lax.broadcasted_iota(jnp.int32, (1, ka), 1) & 1)
+    rows = jnp.clip(a_col, 0, k - 1) + k * parity        # (m, ka)
+    if a_val.dtype == jnp.float32:
+        # 2-D packed (col | value-bits) table + FLAT indices: one gather at
+        # ~index-count cost (the 3-D gather form costs ~50x more).
+        fwd = jnp.concatenate(
+            [bc_p, jax.lax.bitcast_convert_type(bv_p, jnp.int32)], axis=1)
+        rev = jnp.concatenate(
+            [jnp.flip(bc_p, axis=1),
+             jax.lax.bitcast_convert_type(jnp.flip(bv_p, axis=1),
+                                          jnp.int32)], axis=1)
+        table = jnp.concatenate([fwd, rev], axis=0)      # (2k, 2*run)
+        g = table[rows.reshape(-1)]                      # (m*ka, 2*run)
+        bc = g[:, :run].reshape(m, ka, run)
+        bv = jax.lax.bitcast_convert_type(g[:, run:], jnp.float32
+                                          ).reshape(m, ka, run)
+    else:
+        bc_t = jnp.concatenate([bc_p, jnp.flip(bc_p, axis=1)], axis=0)
+        bv_t = jnp.concatenate([bv_p, jnp.flip(bv_p, axis=1)], axis=0)
+        flat = rows.reshape(-1)
+        bc = bc_t[flat].reshape(m, ka, run)
+        bv = bv_t[flat].reshape(m, ka, run)
+    valid = (a_col >= 0)[:, :, None] & (bc >= 0)
+    key = jnp.where(valid, bc, SENTINEL).reshape(m, ka * run)
+    val = jnp.where(valid, a_val[:, :, None] * bv, 0).reshape(m, ka * run)
+    pad = width - ka * run
+    if pad:
+        key = jnp.pad(key, ((0, 0), (0, pad)), constant_values=SENTINEL)
+        val = jnp.pad(val, ((0, 0), (0, pad)))
+    return key, val
+
+
+def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
+                   interpret: bool | None = None) -> ELL:
+    """C = A @ B via per-row VMEM bitonic sort-compress. Returns canonical
+    left-justified ELL with ascending columns per row."""
+    if A.ncols != B.nrows:
+        raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    if plan is None:
+        plan = plan_bitonic(A, B)
+    if not plan.viable:
+        raise ValueError(f"bitonic plan not viable: {plan.reason}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
+                           width=plan.width, run=plan.run)
+    col, out_val, nnz_row = _sort_compress_rows(
+        key, val, width=plan.width, start_kk=2 * plan.run,
+        tile_rows=plan.tile_rows, interpret=interpret)
+    nnz_row = nnz_row[:, 0]
+    return ELL(col_ind=col, values=out_val, nnz_row=nnz_row,
+               nnz=jnp.sum(nnz_row).astype(jnp.int32),
+               shape=(A.nrows, B.ncols))

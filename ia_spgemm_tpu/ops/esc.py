@@ -102,58 +102,111 @@ def _packed_gather2(x_int: jax.Array, x_f: jax.Array,
     return x_int[idx], x_f[idx]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("e_cap", "out_cap", "m", "n", "k"))
-def _esc_core(a_row, a_col, a_val, a_nnz,
-              b_row_ptr, b_col, b_val,
-              *, e_cap: int, out_cap: int, m: int, k: int, n: int):
-    """Format-agnostic ESC core over A's entry list.
+def _delta_broadcast(cols, positions, out_size: int):
+    """Broadcast per-segment constants to every covered position, exactly,
+    with NO gathers: scatter-ADD each entry's wraparound int32 delta
+    (cols[t] - cols[t-1]) at its segment start, then cumsum.
 
-    a_row/a_col/a_val: (nnzA_cap,) — row, col, value per stored A entry
-    (a_row must be non-decreasing, i.e. entries in row order).
-    Returns (row_ptr, col_ind, values, nnz) of C = A @ B, padded to out_cap.
+    The telescoping sum reproduces cols[t] bit-exactly at every position
+    covered by segment t — int32 addition is modular, so overflow (and
+    float32 payloads carried as bitcast lanes) cancels exactly. Entries of
+    zero length share a start position with the next entry; their deltas
+    accumulate there and still telescope. This replaces the per-element
+    `x[t]` gathers (~9 ns/element on v5e) with one small scatter plus
+    cumsums (~0.1 ns/element).
+
+    cols: (nnzA_cap, C) int32 per-entry values; positions: (nnzA_cap,)
+    non-decreasing segment starts (== out_size for entries past the end).
+    Positions at/after out_size fall into a dropped tail row.
     """
-    nnzA_cap = a_col.shape[0]
+    nnz_cap = cols.shape[0]
+    first = cols[:1]
+    deltas = jnp.concatenate([first, cols[1:] - cols[:-1]], axis=0)
+    pos = jnp.minimum(positions, out_size)
+    buf = jnp.zeros((out_size + 1, cols.shape[1]), jnp.int32)
+    buf = buf.at[pos].add(deltas, mode="drop")
+    return jnp.cumsum(buf[:out_size], axis=0)
+
+
+def _expand_products(a_row, a_col_local, a_val, ent_active,
+                     b_row_ptr, b_col, b_val, *, e_cap: int):
+    """Numeric expand: materialize intermediate products (i, j, a*b).
+
+    a_row/a_col_local/a_val: (nnzA_cap,) per stored A entry — row, LOCAL
+    B-row index (already clipped into [0, len(b_row_ptr)-2]), value;
+    ent_active masks which entries participate. a_row must be
+    non-decreasing over active entries. Returns (i, j, v, valid) padded to
+    e_cap, products in A-entry order.
+    """
+    nnzA_cap = a_col_local.shape[0]
     val_dtype = jnp.result_type(a_val.dtype, b_val.dtype)
     ent = jnp.arange(nnzA_cap, dtype=jnp.int32)
-    ent_valid = ent < a_nnz
 
-    a_col_c = jnp.clip(a_col, 0, k - 1)
-    b_start = b_row_ptr[a_col_c]
-    b_len = jnp.where(ent_valid, b_row_ptr[a_col_c + 1] - b_start, 0)
+    b_start = b_row_ptr[a_col_local]
+    b_len = jnp.where(ent_active, b_row_ptr[a_col_local + 1] - b_start, 0)
     offs_end = jnp.cumsum(b_len, dtype=jnp.int32)
     E = offs_end[-1] if nnzA_cap else jnp.int32(0)
     offs_start = offs_end - b_len
 
-    # ---- expand: product slot e belongs to A entry t = the active segment
-    # covering e (one scatter-max + cummax, not a binary search); the
-    # entry's (row, value, B-row start, segment start) come back in ONE
-    # packed 4-column gather at t. ----
-    active = b_len > 0
-    t = _segment_broadcast(ent + 1, offs_start, active, e_cap,
-                           jnp.int32(0)) - 1
-    t = jnp.clip(t, 0, nnzA_cap - 1)
     e = jnp.arange(e_cap, dtype=jnp.int32)
     valid = e < E
     if a_val.dtype == jnp.float32:
-        ent_pack = jnp.stack(
+        # Per-segment constants [row, value-bits, b_start - offs_start]
+        # broadcast by scatter-delta + cumsum (no gathers).
+        cols = jnp.stack(
             [a_row, jax.lax.bitcast_convert_type(a_val, jnp.int32),
-             b_start, offs_start], axis=1)
-        g = ent_pack[t]
-        i = g[:, 0]
-        av_t = jax.lax.bitcast_convert_type(g[:, 1], jnp.float32)
-        bs_t = g[:, 2]
-        start_e = g[:, 3]
+             b_start - offs_start], axis=1)
+        bcast = _delta_broadcast(cols, offs_start, e_cap)
+        i = bcast[:, 0]
+        av_t = jax.lax.bitcast_convert_type(bcast[:, 1], jnp.float32)
+        bpos = bcast[:, 2] + e
     else:
+        # non-f32 (fp64 CPU path): per-element gathers at the covering
+        # segment t (scatter-max + cummax lookup).
+        active = b_len > 0
+        t = _segment_broadcast(ent + 1, offs_start, active, e_cap,
+                               jnp.int32(0)) - 1
+        t = jnp.clip(t, 0, nnzA_cap - 1)
         i = a_row[t]
         av_t = a_val[t]
-        bs_t = b_start[t]
-        start_e = offs_start[t]
-    within = e - start_e
-    bpos = jnp.clip(bs_t + within, 0, b_col.shape[0] - 1)
+        bpos = b_start[t] + (e - offs_start[t])
+    bpos = jnp.clip(bpos, 0, b_col.shape[0] - 1)
     j, bv = _packed_gather2(b_col, b_val, bpos)
     v = jnp.where(valid, av_t.astype(val_dtype) * bv.astype(val_dtype), 0)
+    return i, j, v, valid
+
+
+def _segmented_scan_add(v, head):
+    """Inclusive prefix sums that reset at `head` positions: a manual
+    Hillis–Steele log-step scan (ceil(log2 n) elementwise passes).
+
+    jax.lax.associative_scan's recursive odd/even decomposition produces
+    pathological layouts at multi-million element sizes on TPU (observed
+    minutes-long compiles); this unrolled form compiles in seconds and is
+    pure VPU work. Each run is combined in balanced-tree order, so accuracy
+    matches a per-run tree reduction (no global-cumsum cancellation).
+    """
+    s = v
+    f = head
+    size = s.shape[0]
+    d = 1
+    while d < size:
+        s_sh = jnp.concatenate([jnp.zeros(d, s.dtype), s[:-d]])
+        f_sh = jnp.concatenate([jnp.ones(d, f.dtype), f[:-d]])
+        s = jnp.where(f, s, s + s_sh)
+        f = f | f_sh
+        d *= 2
+    return s
+
+
+def _sort_compress(i, j, v, valid, *, out_cap: int, m: int, n: int):
+    """Sort products by (i, j) and compress duplicates.
+
+    Returns (row_ptr, col_ind, values, nnz) of the compressed result,
+    padded to out_cap (cols past nnz get sentinel n, values 0).
+    """
+    e_cap = v.shape[0]
+    val_dtype = v.dtype
 
     # ---- sort by (i, j): fused int32 key when m*n fits, else 2-key ----
     fused = (m + 1) * (n + 1) < 2**31
@@ -168,7 +221,7 @@ def _esc_core(a_row, a_col, a_val, a_nnz,
         key_s = None
         valid_s = i_s2 < m
 
-    # ---- compress: boundaries + cumsum differences ----
+    # ---- compress: run boundaries + segmented scan + compaction sort ----
     if fused:
         prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), key_s[:-1]])
         nxt = jnp.concatenate([key_s[1:], jnp.full(1, -1, jnp.int32)])
@@ -185,30 +238,40 @@ def _esc_core(a_row, a_col, a_val, a_nnz,
     seg = jnp.cumsum(head, dtype=jnp.int32) - 1
     nnz_c = jnp.sum(head, dtype=jnp.int32)
 
-    # values: one sorted segment-scatter. (A cumsum-difference compress is
-    # ~2x faster but its absolute error scales with the GLOBAL running sum
-    # — measured 27x relative error in f32 — so the exact reduction stays.)
-    c_val_full = jax.ops.segment_sum(
-        v_s, jnp.clip(seg, 0, out_cap - 1), num_segments=out_cap,
-        indices_are_sorted=True)
+    # values: segmented inclusive scan (prefix sums that RESET at run
+    # heads). Unlike a global cumsum-difference (whose error scales with
+    # the global running sum — measured 27x relative error in f32), each
+    # run is tree-summed in isolation, matching segment_sum's accuracy at
+    # ~1/9 the cost (segment_sum lowers to a ~9 ns/element scatter).
+    if val_dtype == jnp.float64:
+        # fp64 CPU/oracle path: keep segment_sum's summation order (the
+        # golden tests assert 1e-12 absolute agreement with scipy).
+        sums = jax.ops.segment_sum(
+            v_s, jnp.clip(seg, 0, e_cap - 1), num_segments=e_cap,
+            indices_are_sorted=True)
+        run_pref = sums[jnp.clip(seg, 0, e_cap - 1)]
+    else:
+        run_pref = _segmented_scan_add(v_s, head)
 
-    # columns/rows: compaction sort (segment id -> its last element index),
-    # then bulk gathers — cheaper than two more large scatters.
-    klast = jnp.where(is_last, seg, _INT32_MAX)
-    _, last_e_full = jax.lax.sort(
-        (klast, jnp.arange(e_cap, dtype=jnp.int32)), num_keys=1)
-    last_e = last_e_full[:out_cap]
-
+    # compaction: one more sort moves each run's LAST element (carrying the
+    # completed run sum) to position seg — cheaper than scatters or
+    # index-gathers at this size.
+    key2 = jnp.where(is_last, seg, _INT32_MAX)
     seg_ids = jnp.arange(out_cap, dtype=jnp.int32)
     seg_valid = seg_ids < nnz_c
     if fused:
-        key_g = key_s[last_e]
-        rows_c = key_g // n
-        cols_c = key_g - rows_c * n
+        _, key_c, val_c = jax.lax.sort((key2, key_s, run_pref), num_keys=1)
+        key_c = key_c[:out_cap]
+        val_c = val_c[:out_cap]
+        rows_c = key_c // n
+        cols_c = key_c - rows_c * n
     else:
-        rows_c = i_s2[last_e]
-        cols_c = j_s2[last_e]
-    c_val = jnp.where(seg_valid, c_val_full, 0).astype(val_dtype)
+        _, rows_c, cols_c, val_c = jax.lax.sort(
+            (key2, i_s2, j_s2, run_pref), num_keys=1)
+        rows_c = rows_c[:out_cap]
+        cols_c = cols_c[:out_cap]
+        val_c = val_c[:out_cap]
+    c_val = jnp.where(seg_valid, val_c, 0).astype(val_dtype)
     c_col = jnp.where(seg_valid, cols_c, n).astype(jnp.int32)
     rows_m = jnp.where(seg_valid, rows_c, m).astype(jnp.int32)
 
@@ -216,6 +279,24 @@ def _esc_core(a_row, a_col, a_val, a_nnz,
         rows_m, jnp.arange(m + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     return row_ptr, c_col, c_val, nnz_c
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("e_cap", "out_cap", "m", "n", "k"))
+def _esc_core(a_row, a_col, a_val, a_nnz,
+              b_row_ptr, b_col, b_val,
+              *, e_cap: int, out_cap: int, m: int, k: int, n: int):
+    """Format-agnostic ESC core over A's entry list: expand then
+    sort-compress. Returns (row_ptr, col_ind, values, nnz) of C = A @ B,
+    padded to out_cap."""
+    nnzA_cap = a_col.shape[0]
+    ent_valid = jnp.arange(nnzA_cap, dtype=jnp.int32) < a_nnz
+    a_col_c = jnp.clip(a_col, 0, k - 1)
+    i, j, v, valid = _expand_products(
+        a_row, a_col_c, a_val, ent_valid, b_row_ptr, b_col, b_val,
+        e_cap=e_cap)
+    return _sort_compress(i, j, v, valid, out_cap=out_cap, m=m, n=n)
 
 
 def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None) -> CSR:

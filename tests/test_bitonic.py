@@ -1,0 +1,133 @@
+"""Row-local bitonic SpGEMM: oracle parity (interpret mode on the CPU
+mesh), canonical ELL output form, planner viability guards, and the
+harness/autotune wiring."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ia_spgemm_tpu.formats import convert
+from ia_spgemm_tpu.formats.types import CSR
+from ia_spgemm_tpu.ops import bitonic
+from tests import fixtures
+
+
+def _ell(a):
+    return convert.csr_to_ell(CSR.from_scipy(a.astype(np.float32)),
+                              check_guard=False)
+
+
+def _check(a, b, C):
+    want = (a @ b).tocsr().astype(np.float32)
+    got = C.to_scipy()
+    d = abs(got - want)
+    err = d.max() if d.nnz else 0.0
+    assert err < 1e-4, err
+    assert int(C.nnz) == want.nnz
+
+
+@pytest.mark.parametrize("m,k,n,da,db,seed", [
+    (16, 16, 16, 0.3, 0.3, 0),
+    (64, 64, 64, 0.05, 0.05, 1),
+    (128, 96, 200, 0.08, 0.06, 2),
+    (33, 17, 65, 0.2, 0.15, 3),
+    (8, 8, 8, 1.0, 1.0, 4),       # fully dense rows
+])
+def test_bitonic_matches_oracle(m, k, n, da, db, seed):
+    rng = np.random.default_rng(seed)
+    a = sp.random(m, k, density=da,
+                  random_state=np.random.RandomState(seed), format="csr")
+    a.data[:] = rng.standard_normal(a.nnz)
+    b = sp.random(k, n, density=db,
+                  random_state=np.random.RandomState(seed + 100),
+                  format="csr")
+    b.data[:] = rng.standard_normal(b.nnz)
+    C = bitonic.spgemm_bitonic(_ell(a), _ell(b))
+    _check(a, b, C)
+
+
+def test_bitonic_canonical_output():
+    """Left-justified, strictly ascending columns, -1 tail sentinels."""
+    a = fixtures.random_csr(48, 48, density=0.12, seed=9)
+    C = bitonic.spgemm_bitonic(_ell(a), _ell(a))
+    col = np.asarray(C.col_ind)
+    nr = np.asarray(C.nnz_row)
+    for r in range(col.shape[0]):
+        row = col[r, :nr[r]]
+        assert (row >= 0).all()
+        if len(row) > 1:
+            assert (np.diff(row) > 0).all()
+        assert (col[r, nr[r]:] == -1).all()
+
+
+def test_bitonic_empty_rows_and_cancellation():
+    a = sp.csr_matrix((8, 8))
+    a[0, 1] = 1.0
+    a[1, 2] = 1.0
+    a = a.tocsr()
+    C = bitonic.spgemm_bitonic(_ell(a), _ell(a))
+    _check(a, a, C)
+
+
+def test_bitonic_rectangular_chain():
+    rng = np.random.default_rng(5)
+    a = sp.random(40, 24, density=0.2,
+                  random_state=np.random.RandomState(5), format="csr")
+    a.data[:] = rng.standard_normal(a.nnz)
+    b = sp.random(24, 56, density=0.15,
+                  random_state=np.random.RandomState(6), format="csr")
+    b.data[:] = rng.standard_normal(b.nnz)
+    C = bitonic.spgemm_bitonic(_ell(a), _ell(b))
+    _check(a, b, C)
+
+
+def test_plan_rejects_wide_products():
+    plan = bitonic.plan_bitonic_dims(1000, 200, 200)  # 40000 > MAX_WIDTH
+    assert not plan.viable and "lanes" in plan.reason
+
+
+def test_plan_rejects_product_budget():
+    plan = bitonic.plan_bitonic_dims(200_000_000, 16, 16)
+    assert not plan.viable and "budget" in plan.reason
+
+
+def test_spgemm_raises_on_nonviable():
+    a = fixtures.random_csr(16, 16, density=0.3, seed=1)
+    A = _ell(a)
+    bad = bitonic.BitonicPlan(width=2 * bitonic.MAX_WIDTH, run=8,
+                              tile_rows=8, viable=False, reason="x")
+    with pytest.raises(ValueError):
+        bitonic.spgemm_bitonic(A, A, bad)
+
+
+def test_harness_runs_bitonic():
+    from ia_spgemm_tpu.bench import harness
+    a = fixtures.random_csr(32, 32, density=0.15, seed=11)
+    A = CSR.from_scipy(a)
+    rep = harness.run_benchmark(A, A, ("baseline", "bitonic"), iters=1)
+    res = rep.by_name("bitonic")
+    assert res is not None and (res.ok or res.skipped)
+    if res.ok:
+        assert res.error == ""
+
+
+def test_reference_inputs_bitonic():
+    """A @ A on the reference fixture matrices: fp32 RELATIVE tolerance
+    (LFAT5 sums reach ~1e12), and structural zeros from exact cancellation
+    may exceed scipy's nnz (b1_ss has +1/-1 products that cancel)."""
+    import glob
+    paths = sorted(glob.glob(
+        "/root/reference/IA-SPGEMM-CPU_release/Inputs/*.mtx"))[:4]
+    from ia_spgemm_tpu.io import mmio
+    for p in paths:
+        A = mmio.read_mtx_to_csr(p)
+        a = A.to_scipy().astype(np.float32)
+        if A.ncols != A.nrows:
+            continue
+        C = bitonic.spgemm_bitonic(_ell(a), _ell(a))
+        want = (a @ a).tocsr()
+        d = abs(C.to_scipy() - want)
+        err = d.max() if d.nnz else 0.0
+        scale = max(1.0, abs(want).max())
+        assert err / scale < 1e-6, (p, err, scale)
+        assert int(C.nnz) >= want.nnz
