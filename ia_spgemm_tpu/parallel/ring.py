@@ -1,0 +1,195 @@
+"""Ring-overlapped distributed SpGEMM (the flagship multi-chip path).
+
+The reference is a single process (SURVEY.md §2.7); the distributed
+capability this framework adds is row-partitioned SpGEMM. The simple paths
+(parallel/distributed.py) replicate or all_gather B, which materializes all
+of B on every chip. This module streams B around a ring instead:
+
+  - A and C are row-sharded ELL blocks (one per device).
+  - B is row-sharded into D equal blocks; at step s device d holds the
+    block owned by (d + s) % D.
+  - Each step, the device gathers the product runs for its A entries whose
+    column falls in the circulating block, while lax.ppermute sends the
+    block to the left neighbor — XLA's async collective-permute lets the
+    transfer ride ICI concurrently with the gather (the overlap the
+    BASELINE.md north star asks for). Peak per-chip B footprint is one
+    block (2 in flight), not all of B.
+  - After D steps every product run is filled; one row-local bitonic
+    sort-compress (ops/bitonic.py) finishes the row block in VMEM.
+
+Capacity is static: each A row has ka runs of `run` slots regardless of
+which step supplies them, so the product buffer is allocated once and
+steps only select into it (no dynamic shapes anywhere).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ia_spgemm_tpu.formats.types import ELL
+from ia_spgemm_tpu.ops import bitonic
+
+
+@struct.dataclass
+class ShardedELL:
+    """Row-block-sharded ELL: leading dim = shard."""
+
+    col_ind: jax.Array   # (D, m_loc, K) int32, -1 empty
+    values: jax.Array    # (D, m_loc, K)
+    nnz_row: jax.Array   # (D, m_loc) int32
+    shape: Tuple[int, int] = struct.field(pytree_node=False)
+
+    @property
+    def num_shards(self) -> int:
+        return self.col_ind.shape[0]
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.col_ind.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.col_ind.shape[2]
+
+
+def partition_rows_ell(A: ELL, num_shards: int,
+                       mesh: Mesh | None = None) -> ShardedELL:
+    """Uniform row blocks of ceil(m / D) rows (tail block padded empty)."""
+    m, K = A.col_ind.shape
+    m_loc = -(-m // num_shards)
+    pad = num_shards * m_loc - m
+    col = np.pad(np.asarray(A.col_ind), ((0, pad), (0, 0)),
+                 constant_values=-1)
+    val = np.pad(np.asarray(A.values), ((0, pad), (0, 0)))
+    nnz_row = np.pad(np.asarray(A.nnz_row), (0, pad))
+    out = ShardedELL(
+        col_ind=jnp.asarray(col.reshape(num_shards, m_loc, K)),
+        values=jnp.asarray(val.reshape(num_shards, m_loc, K)),
+        nnz_row=jnp.asarray(nnz_row.reshape(num_shards, m_loc)
+                            .astype(np.int32)),
+        shape=A.shape)
+    if mesh is not None:
+        axis = mesh.axis_names[0]
+        shard = NamedSharding(mesh, P(axis))
+        out = jax.tree_util.tree_map(lambda x: jax.device_put(x, shard), out)
+    return out
+
+
+def plan_ring(A: ELL, B: ELL, num_shards: int) -> bitonic.BitonicPlan:
+    m_loc = -(-A.nrows // num_shards)
+    return bitonic.plan_bitonic_dims(m_loc, A.max_nnz_per_row,
+                                     B.max_nnz_per_row)
+
+
+def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
+                plan: bitonic.BitonicPlan,
+                interpret: bool | None = None) -> ShardedELL:
+    """C = A @ B, A and C row-sharded, B streamed around the ring."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, _ = A.shape
+    n = B.shape[1]
+    fn = _ring_fn(mesh, A.num_shards, A.rows_per_shard, B.rows_per_shard,
+                  A.width, B.width, jnp.dtype(A.values.dtype),
+                  plan.run, plan.width, plan.tile_rows, interpret)
+    col, val, nnz_row = fn(A.col_ind, A.values, B.col_ind, B.values)
+    return ShardedELL(col_ind=col, values=val, nnz_row=nnz_row,
+                      shape=(m, n))
+
+
+@functools.lru_cache(maxsize=64)
+def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
+             dtype, run: int, width: int, tile_rows: int, interpret: bool):
+    """Build + jit the sharded ring program once per (mesh, shapes) —
+    rebuilding shard_map per call retraces and recompiles every time."""
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+    perm = [(i, (i - 1) % D) for i in range(D)]
+
+    def local_fn(a_col, a_val, b_col, b_val):
+        a_col, a_val = a_col[0], a_val[0]          # (m_loc, ka)
+        b_col, b_val = b_col[0], b_val[0]          # (k_loc, kb)
+        d = jax.lax.axis_index(axis)
+
+        key0 = jnp.full((m_loc, ka, run), bitonic.SENTINEL, jnp.int32)
+        val0 = jnp.zeros((m_loc, ka, run), a_val.dtype)
+
+        def step(s, carry):
+            bc, bv, key, val = carry
+            owner = jax.lax.rem(d + s, jnp.int32(D))
+            r0 = owner * k_loc
+            in_blk = (a_col >= r0) & (a_col < r0 + k_loc)
+            local_col = jnp.clip(a_col - r0, 0, k_loc - 1)
+            # doubled packed table: forward + reversed rows (odd A entries
+            # read the reversed half -> alternating-direction runs)
+            bc_p = jnp.pad(bc, ((0, 0), (0, run - kb)), constant_values=-1)
+            bv_p = jnp.pad(bv, ((0, 0), (0, run - kb)))
+            parity = (jax.lax.broadcasted_iota(jnp.int32, (1, ka), 1) & 1)
+            rows = (local_col + k_loc * parity).reshape(-1)
+            if a_val.dtype == jnp.float32:
+                fwd = jnp.concatenate(
+                    [bc_p, jax.lax.bitcast_convert_type(bv_p, jnp.int32)],
+                    axis=1)
+                rev = jnp.concatenate(
+                    [jnp.flip(bc_p, axis=1),
+                     jax.lax.bitcast_convert_type(
+                         jnp.flip(bv_p, axis=1), jnp.int32)], axis=1)
+                table = jnp.concatenate([fwd, rev], axis=0)
+                g = table[rows]
+                gc = g[:, :run].reshape(m_loc, ka, run)
+                gv = jax.lax.bitcast_convert_type(
+                    g[:, run:], jnp.float32).reshape(m_loc, ka, run)
+            else:
+                bc_t = jnp.concatenate([bc_p, jnp.flip(bc_p, axis=1)], 0)
+                bv_t = jnp.concatenate([bv_p, jnp.flip(bv_p, axis=1)], 0)
+                gc = bc_t[rows].reshape(m_loc, ka, run)
+                gv = bv_t[rows].reshape(m_loc, ka, run)
+            sel = in_blk[:, :, None] & (gc >= 0)
+            key = jnp.where(in_blk[:, :, None],
+                            jnp.where(sel, gc, bitonic.SENTINEL), key)
+            val = jnp.where(sel, a_val[:, :, None] * gv, val)
+            # send the block on while the gather above computes (async
+            # collective-permute over ICI)
+            bc = jax.lax.ppermute(bc, axis, perm)
+            bv = jax.lax.ppermute(bv, axis, perm)
+            return bc, bv, key, val
+
+        _, _, key, val = jax.lax.fori_loop(
+            0, D, step, (b_col, b_val, key0, val0))
+
+        key = key.reshape(m_loc, ka * run)
+        val = val.reshape(m_loc, ka * run)
+        pad = width - ka * run
+        if pad:
+            key = jnp.pad(key, ((0, 0), (0, pad)),
+                          constant_values=bitonic.SENTINEL)
+            val = jnp.pad(val, ((0, 0), (0, pad)))
+        col, out_val, nnz_row = bitonic._sort_compress_rows(
+            key, val, width=width, start_kk=2 * run,
+            tile_rows=tile_rows, interpret=interpret)
+        return col[None], out_val[None], nnz_row[:, 0][None]
+
+    return jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis),) * 4,
+        out_specs=(P(axis),) * 3,
+        check_vma=False))
+
+
+def gather_result_ell(C: ShardedELL) -> ELL:
+    """Host-side: fuse the row-sharded result into one global ELL."""
+    m, n = C.shape
+    col = np.asarray(C.col_ind).reshape(-1, C.width)[:m]
+    val = np.asarray(C.values).reshape(-1, C.width)[:m]
+    nnz_row = np.asarray(C.nnz_row).reshape(-1)[:m]
+    return ELL(col_ind=jnp.asarray(col), values=jnp.asarray(val),
+               nnz_row=jnp.asarray(nnz_row.astype(np.int32)),
+               nnz=jnp.asarray(np.int32(nnz_row.sum())), shape=(m, n))
