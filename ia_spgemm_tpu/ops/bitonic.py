@@ -51,8 +51,9 @@ from ia_spgemm_tpu.formats.types import ELL
 SENTINEL = np.int32(np.iinfo(np.int32).max)
 
 # per-tile VMEM element budget (keys+values+temps for ~10 live (R, Wp)
-# arrays at 4 B each; 256K elements OOM'd the 16 MB scoped VMEM)
-_TILE_ELEMS = 64 * 1024
+# arrays at 4 B each; 256K elements OOM'd the 16 MB scoped VMEM; 32K
+# measured fastest at width 1024 on v5e)
+_TILE_ELEMS = 32 * 1024
 MAX_WIDTH = 16384
 # product-buffer budget: m * Wp * 8 bytes (key + value)
 PRODUCT_BUDGET_BYTES = 4 << 30
