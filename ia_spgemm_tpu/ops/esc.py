@@ -58,20 +58,18 @@ class SpGEMMPlan:
 
 def plan_spgemm(A: CSR, B: CSR, *,
                 bucket: bool = True) -> SpGEMMPlan:
-    """Host-side symbolic pass: computes the exact expansion size from the
-    row pointers only (no values touched)."""
-    rpB = np.asarray(B.row_ptr)
-    b_len = np.diff(rpB).astype(np.int64)
-    nnzA = int(A.nnz)
-    colA = np.asarray(A.col_ind)[:nnzA].astype(np.int64)
-    E = int(b_len[np.clip(colA, 0, B.nrows - 1)].sum()) if nnzA else 0
+    """Symbolic pass: exact expansion size (the reference's phase-1 nnz
+    upper bound, csr/common_csr.h:100-125). The per-row reduction runs on
+    device (ops/symbolic.py); only (m,) row counts come back to the host
+    planner — not the O(nnz) index arrays."""
+    from ia_spgemm_tpu.ops import symbolic
+    E, out_bound, _ = symbolic.plan_symbolic(A, B)
     if E >= np.iinfo(np.int32).max:
         raise ValueError(
             f"expansion {E} overflows int32; row-partition the problem "
             "(ia_spgemm_tpu.parallel) instead")
     e_cap = cfg.bucket_capacity(E, enabled=bucket)
-    out_cap = cfg.bucket_capacity(min(E, A.nrows * B.ncols) or 1,
-                                  enabled=bucket)
+    out_cap = cfg.bucket_capacity(out_bound or 1, enabled=bucket)
     return SpGEMMPlan(expansion_capacity=e_cap, out_capacity=out_cap,
                       flops=E)
 

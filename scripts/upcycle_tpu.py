@@ -1,0 +1,102 @@
+"""Harvest TPU timings over a structured matrix corpus, retrain MatNet on
+the framework's own algorithm menu, and record pick accuracy.
+
+This is the end-to-end "upcycle" the BASELINE.md north star asks for: the
+reference ships only pretrained weights for its MKL/CSR/DIA/ELL/COO menu;
+here the labels come from measured winners on THIS hardware over THIS
+menu (including the bitonic flagship kernel).
+
+Outputs (under weights/):
+  tpu_samples.npz    — harvested (img1, img2, feats, winner) dataset
+  TPU_upcycled.npz   — retrained MatNet parameters (len(MENU) classes)
+  upcycle_report.json — corpus, per-class counts, pick accuracy
+
+Usage:  python scripts/upcycle_tpu.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+MENU = ("baseline", "csr", "dia", "ell", "coo", "bitonic")
+
+
+def corpus(quick: bool):
+    from ia_spgemm_tpu.io import mmio, suitesparse
+
+    sizes = (1024,) if quick else (1024, 4096, 16384)
+    seeds = (0, 1) if quick else (0, 1, 2)
+    for m in sizes:
+        for name, a in suitesparse.synthetic_suite(m=m, seeds=seeds):
+            yield name, a
+    # the 9 reference fixture matrices (tiny; exercise symmetric/pattern)
+    for name, path in sorted(suitesparse.local_collection().items()):
+        try:
+            A = mmio.read_mtx_to_csr(path)
+        except Exception:
+            continue
+        if A.nrows == A.ncols:
+            yield f"ref_{name}", A.to_scipy()
+
+
+def main():
+    quick = "--quick" in sys.argv
+    from ia_spgemm_tpu.cli.main import enable_compilation_cache
+    enable_compilation_cache()
+    from ia_spgemm_tpu.formats.types import CSR
+    from ia_spgemm_tpu.models import upcycle, weights
+
+    samples = []
+    t_start = time.time()
+    for name, a in corpus(quick):
+        A = CSR.from_scipy(a.tocsr().astype(np.float32))
+        t0 = time.time()
+        try:
+            s = upcycle.harvest_sample(A, A, menu=MENU, name=name, iters=2)
+        except Exception as e:  # noqa: BLE001 — skip broken cases, keep going
+            print(f"{name}: harvest failed: {e}", flush=True)
+            continue
+        if s is None:
+            print(f"{name}: no winner", flush=True)
+            continue
+        samples.append(s)
+        print(f"{name}: winner={s.winner} ({time.time() - t0:.1f}s)",
+              flush=True)
+
+    os.makedirs("weights", exist_ok=True)
+    upcycle.save_samples("weights/tpu_samples.npz", samples)
+    counts = {algo: sum(1 for s in samples if s.winner == algo)
+              for algo in MENU}
+    print("harvest done:", len(samples), "samples", counts, flush=True)
+
+    steps = 120 if quick else 400
+    params, history, menu = upcycle.upcycle(
+        samples, menu=MENU, init_from=None, steps=steps, batch_size=16)
+    acc = upcycle.evaluate_pick_accuracy(params, samples, menu=MENU)
+    weights.save_params_npz("weights/TPU_upcycled.npz", params)
+
+    report = {
+        "menu": list(MENU),
+        "n_samples": len(samples),
+        "class_counts": counts,
+        "pick_accuracy_in_sample": round(acc, 4),
+        "majority_baseline": round(max(counts.values())
+                                   / max(len(samples), 1), 4),
+        "train_steps": steps,
+        "harvest_seconds": round(time.time() - t_start, 1),
+    }
+    with open("weights/upcycle_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()

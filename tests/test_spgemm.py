@@ -171,3 +171,27 @@ def test_duplicate_entries_accumulate():
     want = (a.tocsr() @ a.tocsr()).toarray()
     got = C.to_scipy().toarray()
     np.testing.assert_allclose(got, want)
+
+
+def test_symbolic_plan_matches_host():
+    """Device symbolic pass == host GetFlop formula."""
+    import numpy as np
+    from ia_spgemm_tpu.ops import symbolic
+    from ia_spgemm_tpu.ops.flops import get_flop
+    from tests import fixtures
+    a = fixtures.random_csr(60, 40, density=0.15, seed=70)
+    b = fixtures.random_csr(40, 50, density=0.2, seed=71)
+    A, B = CSR.from_scipy(a), CSR.from_scipy(b)
+    E, bound, mx = symbolic.plan_symbolic(A, B)
+    assert E == get_flop(A, B)
+    rf = np.asarray(symbolic.row_flops_csr(A.row_ptr, A.col_ind, A.nnz,
+                                           B.row_ptr))
+    want_rf = np.zeros(60, np.int64)
+    b_len = np.diff(np.asarray(B.row_ptr))
+    rp = np.asarray(A.row_ptr)
+    col = np.asarray(A.col_ind)
+    for r in range(60):
+        want_rf[r] = b_len[col[rp[r]:rp[r + 1]]].sum()
+    assert (rf == want_rf).all()
+    assert bound == int(np.minimum(want_rf, 50).sum())
+    assert mx == int(want_rf.max())
