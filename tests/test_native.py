@@ -69,3 +69,22 @@ def test_read_mtx_to_csr_uses_native(lib, tmp_path):
                                   np.asarray(via_python.row_ptr))
     np.testing.assert_array_equal(np.asarray(via_native.values),
                                   np.asarray(via_python.values))
+
+
+def test_native_driver_builds_and_parses_args():
+    """The embedded-CPython driver binary (native/spgemm_run.cpp — the
+    reference's C++-main + embedded-interpreter architecture,
+    main.cpp:682-704). --help exits before any heavy import."""
+    import os
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    binary = os.path.join(root, "native", "spgemm-run")
+    if not os.path.exists(binary):
+        r = subprocess.run(["make", "-C", os.path.join(root, "native"),
+                            "spgemm-run"], capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("cannot build native driver")
+    out = subprocess.run([binary, "--help"], capture_output=True,
+                         cwd=root, timeout=120)
+    assert out.returncode == 0
+    assert b"spgemm-run" in out.stdout
