@@ -39,12 +39,18 @@ from ia_spgemm_tpu.ops import bitonic
 
 @struct.dataclass
 class ShardedELL:
-    """Row-block-sharded ELL: leading dim = shard."""
+    """Row-block-sharded ELL: leading dim = shard.
+
+    row_map holds the GLOBAL row id of each (shard, local) slot (-1 =
+    padding) so balanced partitionings can permute rows; contiguous blocks
+    use the identity map."""
 
     col_ind: jax.Array   # (D, m_loc, K) int32, -1 empty
     values: jax.Array    # (D, m_loc, K)
     nnz_row: jax.Array   # (D, m_loc) int32
+    row_map: jax.Array   # (D, m_loc) int32 global row ids, -1 padding
     shape: Tuple[int, int] = struct.field(pytree_node=False)
+    contiguous: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_shards(self) -> int:
@@ -60,21 +66,65 @@ class ShardedELL:
 
 
 def partition_rows_ell(A: ELL, num_shards: int,
-                       mesh: Mesh | None = None) -> ShardedELL:
-    """Uniform row blocks of ceil(m / D) rows (tail block padded empty)."""
+                       mesh: Mesh | None = None,
+                       balance: str = "rows",
+                       B: ELL | None = None) -> ShardedELL:
+    """Row blocks of ceil(m / D) rows.
+
+    balance="rows": contiguous blocks (identity row_map, tail padded).
+    balance="flops": rows dealt greedily by descending per-row product
+    count onto the least-loaded shard — the flops-balance the reference's
+    CV feature motivates (csr/common_csr.h:276) — recorded in row_map.
+    """
     m, K = A.col_ind.shape
     m_loc = -(-m // num_shards)
     pad = num_shards * m_loc - m
-    col = np.pad(np.asarray(A.col_ind), ((0, pad), (0, 0)),
-                 constant_values=-1)
-    val = np.pad(np.asarray(A.values), ((0, pad), (0, 0)))
-    nnz_row = np.pad(np.asarray(A.nnz_row), (0, pad))
+    if balance == "rows":
+        order = np.arange(m, dtype=np.int64)
+    elif balance == "flops":
+        lens_b = np.asarray((B or A).nnz_row).astype(np.int64)
+        cols = np.asarray(A.col_ind)
+        rf = np.where(cols >= 0,
+                      lens_b[np.clip(cols, 0, lens_b.shape[0] - 1)],
+                      0).sum(axis=1)
+        by_cost = np.argsort(-rf, kind="stable")
+        # greedy deal: heaviest row onto the least-loaded shard
+        assign = np.full((num_shards, m_loc), -1, np.int64)
+        slot = np.zeros(num_shards, np.int64)
+        load = np.zeros(num_shards, np.float64)
+        for r in by_cost:
+            d = int(np.argmin(load))
+            assign[d, slot[d]] = r
+            slot[d] += 1
+            load[d] += float(rf[r])
+            if slot[d] == m_loc:
+                load[d] = np.inf  # shard full
+        order = assign.reshape(-1)
+    else:
+        raise ValueError(balance)
+
+    if balance == "rows":
+        col = np.pad(np.asarray(A.col_ind), ((0, pad), (0, 0)),
+                     constant_values=-1)
+        val = np.pad(np.asarray(A.values), ((0, pad), (0, 0)))
+        nnz_row = np.pad(np.asarray(A.nnz_row), (0, pad))
+        row_map = np.concatenate([np.arange(m, dtype=np.int64),
+                                  np.full(pad, -1, np.int64)])
+    else:
+        sel = np.clip(order, 0, m - 1)
+        valid = (order >= 0)[:, None]
+        col = np.where(valid, np.asarray(A.col_ind)[sel], -1)
+        val = np.where(valid, np.asarray(A.values)[sel], 0)
+        nnz_row = np.where(order >= 0, np.asarray(A.nnz_row)[sel], 0)
+        row_map = order
     out = ShardedELL(
         col_ind=jnp.asarray(col.reshape(num_shards, m_loc, K)),
         values=jnp.asarray(val.reshape(num_shards, m_loc, K)),
         nnz_row=jnp.asarray(nnz_row.reshape(num_shards, m_loc)
                             .astype(np.int32)),
-        shape=A.shape)
+        row_map=jnp.asarray(row_map.reshape(num_shards, m_loc)
+                            .astype(np.int32)),
+        shape=A.shape, contiguous=(balance == "rows"))
     if mesh is not None:
         axis = mesh.axis_names[0]
         shard = NamedSharding(mesh, P(axis))
@@ -94,6 +144,9 @@ def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
     """C = A @ B, A and C row-sharded, B streamed around the ring."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not B.contiguous:
+        raise ValueError("B must be partitioned with balance='rows' — the "
+                         "ring's owner arithmetic needs contiguous blocks")
     m, _ = A.shape
     n = B.shape[1]
     fn = _ring_fn(mesh, A.num_shards, A.rows_per_shard, B.rows_per_shard,
@@ -101,7 +154,8 @@ def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
                   plan.run, plan.width, plan.tile_rows, interpret)
     col, val, nnz_row = fn(A.col_ind, A.values, B.col_ind, B.values)
     return ShardedELL(col_ind=col, values=val, nnz_row=nnz_row,
-                      shape=(m, n))
+                      row_map=A.row_map, shape=(m, n),
+                      contiguous=A.contiguous)
 
 
 @functools.lru_cache(maxsize=64)
@@ -185,11 +239,21 @@ def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
 
 
 def gather_result_ell(C: ShardedELL) -> ELL:
-    """Host-side: fuse the row-sharded result into one global ELL."""
+    """Host-side: fuse the row-sharded result into one global ELL,
+    inverting the partition's row permutation."""
     m, n = C.shape
-    col = np.asarray(C.col_ind).reshape(-1, C.width)[:m]
-    val = np.asarray(C.values).reshape(-1, C.width)[:m]
-    nnz_row = np.asarray(C.nnz_row).reshape(-1)[:m]
-    return ELL(col_ind=jnp.asarray(col), values=jnp.asarray(val),
-               nnz_row=jnp.asarray(nnz_row.astype(np.int32)),
-               nnz=jnp.asarray(np.int32(nnz_row.sum())), shape=(m, n))
+    w = C.width
+    col = np.asarray(C.col_ind).reshape(-1, w)
+    val = np.asarray(C.values).reshape(-1, w)
+    nnz_row = np.asarray(C.nnz_row).reshape(-1)
+    rmap = np.asarray(C.row_map).reshape(-1)
+    sel = rmap >= 0
+    out_col = np.full((m, w), -1, np.int32)
+    out_val = np.zeros((m, w), val.dtype)
+    out_nnz = np.zeros(m, np.int32)
+    out_col[rmap[sel]] = col[sel]
+    out_val[rmap[sel]] = val[sel]
+    out_nnz[rmap[sel]] = nnz_row[sel]
+    return ELL(col_ind=jnp.asarray(out_col), values=jnp.asarray(out_val),
+               nnz_row=jnp.asarray(out_nnz),
+               nnz=jnp.asarray(np.int32(out_nnz.sum())), shape=(m, n))

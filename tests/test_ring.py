@@ -67,3 +67,35 @@ def test_ring_matches_single_device_bitonic(mesh):
     C = ring.gather_result_ell(ring.ring_spgemm(As, As, mesh, plan))
     d = abs(C.to_scipy() - single.to_scipy())
     assert (d.max() if d.nnz else 0.0) < 1e-5
+
+
+def test_ring_flops_balanced(mesh):
+    """Flops-balanced A partition (permuted rows, inverted on gather)."""
+    import scipy.sparse as sp
+    dense_block = fixtures.random_csr(8, 72, density=0.9, seed=66)
+    sparse_block = fixtures.random_csr(64, 72, density=0.02, seed=67)
+    a = sp.vstack([dense_block, sparse_block]).tocsr()[:72, :72].tocsr()
+    A = _ell(a)
+    As = ring.partition_rows_ell(A, 8, mesh=mesh, balance="flops")
+    Bs = ring.partition_rows_ell(A, 8, mesh=mesh)
+    plan = ring.plan_ring(A, A, 8)
+    C = ring.ring_spgemm(As, Bs, mesh, plan)
+    got = ring.gather_result_ell(C).to_scipy()
+    want = (a @ a).tocsr().astype(np.float32)
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) < 1e-4
+    # the heavy rows must be spread across shards
+    rmap = np.asarray(As.row_map)
+    heavy_shards = {d_ for d_ in range(8) for r in rmap[d_] if 0 <= r < 8}
+    assert len(heavy_shards) == 8
+
+
+def test_ring_rejects_permuted_B(mesh):
+    import pytest as _pytest
+    a = fixtures.random_csr(64, 64, density=0.1, seed=68)
+    A = _ell(a)
+    As = ring.partition_rows_ell(A, 8, mesh=mesh)
+    Bs = ring.partition_rows_ell(A, 8, mesh=mesh, balance="flops")
+    plan = ring.plan_ring(A, A, 8)
+    with _pytest.raises(ValueError):
+        ring.ring_spgemm(As, Bs, mesh, plan)
