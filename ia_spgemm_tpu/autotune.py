@@ -86,12 +86,12 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
     if algo == "ell":
         Ae, Be = convert.csr_to_ell(A), convert.csr_to_ell(B)
         if Ae is not None and Be is not None:
-            # the bitonic ELL-pair kernel is the fast path; the row-local
-            # ELL kernel covers plans the lane budget rejects
+            # the bitonic ELL-pair kernel is the fast path (row-bucketed
+            # for skew); the row-local ELL kernel covers rejected plans
             from ia_spgemm_tpu.ops import bitonic as bt_ops
-            plan = bt_ops.plan_bitonic(Ae, Be)
-            C = (bt_ops.spgemm_bitonic(Ae, Be, plan) if plan.viable
-                 else ell_ops.spgemm_ell(Ae, Be))
+            C = bt_ops.spgemm_bitonic_bucketed(Ae, Be)
+            if C is None:
+                C = ell_ops.spgemm_ell(Ae, Be)
             return convert.ell_to_csr(C), sel
         algo = "csr"
     if algo == "coo":

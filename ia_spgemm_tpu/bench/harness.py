@@ -273,9 +273,10 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
     elif name == "bitonic":
         from ia_spgemm_tpu.formats.convert import plan_ell_width
         from ia_spgemm_tpu.ops import bitonic as bt_ops
-        plan = bt_ops.plan_bitonic_dims(
-            A.nrows, plan_ell_width(A), plan_ell_width(B))
-        if not plan.viable:
+        lens = np.diff(np.asarray(A.row_ptr))
+        kb = plan_ell_width(B)
+        flat_plan = bt_ops.plan_bitonic_dims(A.nrows, plan_ell_width(A), kb)
+        if not flat_plan.viable and not bt_ops.bucketed_viable(lens, kb):
             res.skipped = True
             return None
 
@@ -284,7 +285,12 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
                     convert.csr_to_ell(B, check_guard=False))
 
         def compute(ab):
-            return bt_ops.spgemm_bitonic(ab[0], ab[1], plan)
+            # bucketed covers skewed rows past the flat width guard and
+            # matches the flat kernel when rows are uniform
+            out = bt_ops.spgemm_bitonic_bucketed(ab[0], ab[1])
+            if out is None:
+                out = bt_ops.spgemm_bitonic(ab[0], ab[1], flat_plan)
+            return out
     else:
         raise ValueError(f"unknown algorithm {name!r}")
 

@@ -291,6 +291,19 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int):
     return key, val
 
 
+def bucketed_viable(row_lens: np.ndarray, kb: int,
+                    value_bytes: int = 4) -> bool:
+    """Probe: can the row-bucketed kernel handle rows with these lengths?
+    Only each row's OWN products must fit the lane budget, and the summed
+    class buffers must fit the product budget."""
+    run = max(1, _next_pow2(kb))
+    lens = np.maximum(np.asarray(row_lens, dtype=np.int64), 1)
+    widths = np.maximum(128, np.vectorize(_next_pow2)(lens * run))
+    if widths.max(initial=128) > MAX_WIDTH:
+        return False
+    return int(widths.sum()) * 2 * value_bytes <= PRODUCT_BUDGET_BYTES
+
+
 def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
                             interpret: bool | None = None) -> ELL | None:
     """Row-bucketed bitonic SpGEMM: group A's rows by product width class

@@ -54,6 +54,12 @@ class SpGEMMPlan:
     expansion_capacity: int   # >= E (number of intermediate products)
     out_capacity: int         # >= nnz(C)
     flops: int                # exact E — the reference's GetFlop(A, B)
+    # "gather": per-product packed gather into an exact-size expansion
+    # (~9 ns/product on v5e). "rowexpand": ONE row-gather of B's padded
+    # ELL row per A entry (~10 ns/entry) into a (nnzA, run) expansion —
+    # chosen when the pow2-run padding inflates the sort by <= 2x.
+    variant: str = "gather"
+    b_run: int = 0            # pow2 B-row width for the rowexpand variant
 
 
 def plan_spgemm(A: CSR, B: CSR, *,
@@ -70,8 +76,21 @@ def plan_spgemm(A: CSR, B: CSR, *,
             "(ia_spgemm_tpu.parallel) instead")
     e_cap = cfg.bucket_capacity(E, enabled=bucket)
     out_cap = cfg.bucket_capacity(out_bound or 1, enabled=bucket)
+    # rowexpand when the (nnzA_cap, pow2-run) layout inflates the sort
+    # by <= 2x — it replaces per-product gathers with per-entry row
+    # gathers (~19x fewer gather indices at avg B-row length 19)
+    b_maxlen = int(jnp.max(B.row_ptr[1:] - B.row_ptr[:-1]))
+    run = 1 << max(b_maxlen - 1, 0).bit_length()
+    variant, b_run = "gather", 0
+    # (f32 only: the padded grid reorders duplicate summation, which the
+    # fp64 golden tests pin to segment_sum order)
+    if (b_maxlen > 0 and A.capacity * run <= 2 * e_cap
+            and A.values.dtype == jnp.float32
+            and B.values.dtype == jnp.float32):
+        variant, b_run = "rowexpand", run
+        e_cap = A.capacity * run
     return SpGEMMPlan(expansion_capacity=e_cap, out_capacity=out_cap,
-                      flops=E)
+                      flops=E, variant=variant, b_run=b_run)
 
 
 from ia_spgemm_tpu.utils.scans import (  # noqa: E402
@@ -297,6 +316,36 @@ def _esc_core(a_row, a_col, a_val, a_nnz,
     return _sort_compress(i, j, v, valid, out_cap=out_cap, m=m, n=n)
 
 
+@functools.partial(jax.jit, static_argnames=("out_cap", "m", "n", "run"))
+def _esc_core_rowexpand(a_row, a_col, a_val, a_nnz, b_col_ell, b_val_ell,
+                        *, out_cap: int, m: int, n: int, run: int):
+    """ESC numeric phase with the B-row-gather expansion: one packed
+    row-gather per A entry into a (nnzA_cap, run) product grid (invalid
+    slots masked), then the shared sort-compress."""
+    nnzA_cap = a_col.shape[0]
+    k, kb = b_col_ell.shape
+    ent_valid = jnp.arange(nnzA_cap, dtype=jnp.int32) < a_nnz
+    rows = jnp.clip(a_col, 0, k - 1)
+    bc_p = jnp.pad(b_col_ell, ((0, 0), (0, run - kb)), constant_values=-1)
+    bv_p = jnp.pad(b_val_ell, ((0, 0), (0, run - kb)))
+    if a_val.dtype == jnp.float32:
+        table = jnp.concatenate(
+            [bc_p, jax.lax.bitcast_convert_type(bv_p, jnp.int32)], axis=1)
+        g = table[rows]                                 # (nnzA_cap, 2*run)
+        bc = g[:, :run]
+        bv = jax.lax.bitcast_convert_type(g[:, run:], jnp.float32)
+    else:
+        bc = bc_p[rows]
+        bv = bv_p[rows]
+    valid = ent_valid[:, None] & (bc >= 0)
+    val_dtype = jnp.result_type(a_val.dtype, b_val_ell.dtype)
+    i = jnp.broadcast_to(a_row[:, None], (nnzA_cap, run))
+    v = jnp.where(valid, a_val[:, None].astype(val_dtype)
+                  * bv.astype(val_dtype), 0)
+    return _sort_compress(i.reshape(-1), bc.reshape(-1), v.reshape(-1),
+                          valid.reshape(-1), out_cap=out_cap, m=m, n=n)
+
+
 def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None) -> CSR:
     """C = A @ B with both operands CSR. The TPU analogue of the reference's
     CSR_MUL_CSR (csr/common_csr.h:85-193)."""
@@ -305,11 +354,20 @@ def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None) -> CSR:
     if plan is None:
         plan = plan_spgemm(A, B)
     a_row = entry_rows(A.row_ptr, A.capacity)
-    row_ptr, col, val, nnz = _esc_core(
-        a_row, A.col_ind, A.values, A.nnz,
-        B.row_ptr, B.col_ind, B.values,
-        e_cap=plan.expansion_capacity, out_cap=plan.out_capacity,
-        m=A.nrows, k=A.ncols, n=B.ncols)
+    if plan.variant == "rowexpand":
+        from ia_spgemm_tpu.formats.convert import csr_to_ell
+        B_ell = csr_to_ell(B, check_guard=False)
+        row_ptr, col, val, nnz = _esc_core_rowexpand(
+            a_row, A.col_ind, A.values, A.nnz,
+            B_ell.col_ind, B_ell.values,
+            out_cap=plan.out_capacity, m=A.nrows, n=B.ncols,
+            run=plan.b_run)
+    else:
+        row_ptr, col, val, nnz = _esc_core(
+            a_row, A.col_ind, A.values, A.nnz,
+            B.row_ptr, B.col_ind, B.values,
+            e_cap=plan.expansion_capacity, out_cap=plan.out_capacity,
+            m=A.nrows, k=A.ncols, n=B.ncols)
     return CSR(row_ptr=row_ptr, col_ind=col, values=val, nnz=nnz,
                shape=(A.nrows, B.ncols))
 

@@ -195,3 +195,24 @@ def test_symbolic_plan_matches_host():
     assert (rf == want_rf).all()
     assert bound == int(np.minimum(want_rf, 50).sum())
     assert mx == int(want_rf.max())
+
+
+def test_rowexpand_variant_matches_gather():
+    """The f32 rowexpand expansion must agree with the gather expansion."""
+    import numpy as np
+    from tests import fixtures
+    a = fixtures.random_csr(80, 64, density=0.12, seed=80).astype(np.float32)
+    b = fixtures.random_csr(64, 96, density=0.1, seed=81).astype(np.float32)
+    A, B = CSR.from_scipy(a), CSR.from_scipy(b)
+    plan = esc.plan_spgemm(A, B)
+    assert plan.variant == "rowexpand"  # uniform rows -> low inflation
+    C1 = esc.spgemm_csr(A, B, plan)
+    gplan = esc.SpGEMMPlan(
+        expansion_capacity=plan.expansion_capacity,
+        out_capacity=plan.out_capacity, flops=plan.flops)
+    C2 = esc.spgemm_csr(A, B, gplan)
+    want = (a @ b).tocsr()
+    for C in (C1, C2):
+        got = C.to_scipy()
+        got.sum_duplicates()
+        assert abs(got - want).max() < 1e-4
