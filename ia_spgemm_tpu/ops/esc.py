@@ -372,6 +372,157 @@ def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None) -> CSR:
                shape=(A.nrows, B.ncols))
 
 
+# ---------------------------------------------------------------------------
+# Compensated (double-double) variant — fp64-grade accumulation on f32 TPUs
+# ---------------------------------------------------------------------------
+
+def _ob(x):
+    """Optimization barrier: XLA here runs with allow_excess_precision,
+    whose algebraic simplifier cancels error-recovery sequences like
+    (a + b) - b (measured: the dd path degraded to plain-f32 accuracy on
+    TPU without these). Barriers pin the rounded intermediates."""
+    return jax.lax.optimization_barrier(x)
+
+
+def _two_sum(a_hi, a_lo, b_hi, b_lo):
+    """Double-double addition (Knuth two-sum + renormalize): exact to
+    ~2^-48 relative, using only f32 ops the VPU has."""
+    s = _ob(a_hi + b_hi)
+    bp = _ob(s - a_hi)
+    err = (a_hi - _ob(s - bp)) + (b_hi - bp)
+    lo = err + a_lo + b_lo
+    hi = _ob(s + lo)
+    return hi, lo - (hi - s)
+
+
+def _two_product(a, b):
+    """Dekker two-product (no FMA needed): a*b = hi + lo exactly."""
+    split = jnp.asarray(4097.0, a.dtype)  # 2^12 + 1 for f32
+    a1 = _ob(a * split)
+    ah = _ob(a1 - (a1 - a))
+    al = a - ah
+    b1 = _ob(b * split)
+    bh = _ob(b1 - (b1 - b))
+    bl = b - bh
+    p = _ob(a * b)
+    e = ((_ob(ah * bh) - p) + _ob(ah * bl) + _ob(al * bh)) + al * bl
+    return p, e
+
+
+def _segmented_scan_two_sum(hi, lo, head):
+    """Segmented Hillis–Steele scan under double-double addition."""
+    f = head
+    size = hi.shape[0]
+    d = 1
+    while d < size:
+        hi_sh = jnp.concatenate([jnp.zeros(d, hi.dtype), hi[:-d]])
+        lo_sh = jnp.concatenate([jnp.zeros(d, lo.dtype), lo[:-d]])
+        f_sh = jnp.concatenate([jnp.ones(d, f.dtype), f[:-d]])
+        nhi, nlo = _two_sum(hi, lo, hi_sh, lo_sh)
+        hi = jnp.where(f, hi, nhi)
+        lo = jnp.where(f, lo, nlo)
+        f = f | f_sh
+        d *= 2
+    return hi, lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("e_cap", "out_cap", "m", "n", "k"))
+def _esc_core_dd(a_row, a_col, a_val, a_nnz, b_row_ptr, b_col, b_val,
+                 *, e_cap: int, out_cap: int, m: int, k: int, n: int):
+    """ESC with double-double products and run sums: every intermediate
+    product is an exact (hi, lo) pair (Dekker) and duplicate runs combine
+    under two-sum, so the accumulated values carry ~2^-48 relative error —
+    fp64-grade results from an f32-only chip. ~1.6x the plain-f32 cost
+    (one extra sort payload + ~10 extra flops/element in the scan)."""
+    nnzA_cap = a_col.shape[0]
+    ent_valid = jnp.arange(nnzA_cap, dtype=jnp.int32) < a_nnz
+    a_col_c = jnp.clip(a_col, 0, k - 1)
+    # expand the FACTORS (not the rounded product): the delta-broadcast
+    # carries A's value bits, the packed gather brings B's, and Dekker's
+    # two-product keeps the exact (hi, lo) per intermediate product
+    b_start = b_row_ptr[a_col_c]
+    b_len = jnp.where(ent_valid, b_row_ptr[a_col_c + 1] - b_start, 0)
+    offs_end = jnp.cumsum(b_len, dtype=jnp.int32)
+    E = offs_end[-1] if nnzA_cap else jnp.int32(0)
+    offs_start = offs_end - b_len
+    cols = jnp.stack(
+        [a_row, jax.lax.bitcast_convert_type(a_val, jnp.int32),
+         b_start - offs_start], axis=1)
+    bcast = _delta_broadcast(cols, offs_start, e_cap)
+    e = jnp.arange(e_cap, dtype=jnp.int32)
+    valid = e < E
+    i = bcast[:, 0]
+    av_t = jax.lax.bitcast_convert_type(bcast[:, 1], jnp.float32)
+    bpos = jnp.clip(bcast[:, 2] + e, 0, b_col.shape[0] - 1)
+    j, bv = _packed_gather2(b_col, b_val, bpos)
+    hi, lo = _two_product(av_t, bv)
+    hi = jnp.where(valid, hi, 0.0)
+    lo = jnp.where(valid, lo, 0.0)
+
+    key = jnp.where(valid, i * n + j, jnp.int32(m * n))
+    key_s, hi_s, lo_s = jax.lax.sort((key, hi, lo), num_keys=1)
+    valid_s = key_s < m * n
+    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), key_s[:-1]])
+    nxt = jnp.concatenate([key_s[1:], jnp.full(1, -1, jnp.int32)])
+    head = valid_s & (key_s != prev)
+    is_last = valid_s & (key_s != nxt)
+    seg = jnp.cumsum(head, dtype=jnp.int32) - 1
+    nnz_c = jnp.sum(head, dtype=jnp.int32)
+
+    rhi, rlo = _segmented_scan_two_sum(hi_s, lo_s, head)
+
+    key2 = jnp.where(is_last, seg, _INT32_MAX)
+    _, key_c, hi_c, lo_c = jax.lax.sort((key2, key_s, rhi, rlo),
+                                        num_keys=1)
+    key_c = key_c[:out_cap]
+    hi_c = hi_c[:out_cap]
+    lo_c = lo_c[:out_cap]
+    seg_valid = jnp.arange(out_cap, dtype=jnp.int32) < nnz_c
+    rows_c = key_c // n
+    cols_c = key_c - rows_c * n
+    c_hi = jnp.where(seg_valid, hi_c, 0.0)
+    c_lo = jnp.where(seg_valid, lo_c, 0.0)
+    c_col = jnp.where(seg_valid, cols_c, n).astype(jnp.int32)
+    rows_m = jnp.where(seg_valid, rows_c, m).astype(jnp.int32)
+    row_ptr = jnp.searchsorted(
+        rows_m, jnp.arange(m + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return row_ptr, c_col, c_hi, c_lo, nnz_c
+
+
+def spgemm_csr_compensated(A: CSR, B: CSR,
+                           plan: SpGEMMPlan | None = None) -> CSR:
+    """C = A @ B with double-double accumulation: f32 operands, fp64-grade
+    sums (~2^-48 relative). The (hi, lo) value pairs combine to float64 on
+    the host — TPUs have no native f64, but the SUM hi+lo is exact in f64.
+
+    Requires the fused int32 key (m*n < 2^31) — covered by all reference
+    workloads; fall back to the fp64 CPU path otherwise.
+    """
+    if A.ncols != B.nrows:
+        raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    if (A.nrows + 1) * (B.ncols + 1) >= 2**31:
+        raise ValueError("compensated path needs m*n < 2^31")
+    if A.values.dtype != jnp.float32:
+        raise ValueError("compensated path takes float32 operands")
+    if plan is None:
+        plan = plan_spgemm(A, B)
+    a_row = entry_rows(A.row_ptr, A.capacity)
+    e_cap = (plan.expansion_capacity if plan.variant == "gather"
+             else cfg.bucket_capacity(plan.flops))
+    row_ptr, col, hi, lo, nnz = _esc_core_dd(
+        a_row, A.col_ind, A.values, A.nnz,
+        B.row_ptr, B.col_ind, B.values,
+        e_cap=e_cap, out_cap=plan.out_capacity,
+        m=A.nrows, k=A.ncols, n=B.ncols)
+    # combine on the HOST and keep numpy float64: jnp.asarray would
+    # silently round back to f32 when jax_enable_x64 is off (TPU default)
+    values = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    return CSR(row_ptr=row_ptr, col_ind=col, values=values,
+               nnz=nnz, shape=(A.nrows, B.ncols))
+
+
 def spgemm_coo(A: COO, B: COO, plan: SpGEMMPlan | None = None) -> COO:
     """C = A @ B with both operands COO. The reference's COO_MUL_COO uses
     linear probing into the output row (coo/common_coo.h:72-161); here the

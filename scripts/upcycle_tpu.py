@@ -26,17 +26,29 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-MENU = ("baseline", "csr", "dia", "ell", "coo", "bitonic")
+# TPU algorithms only: the host scipy baseline stays in reports but is not
+# a deployable TPU choice, and under the dev tunnel's ~26ms dispatch
+# overhead it degenerately wins every small case. Five classes — the same
+# count as the reference's menu, so its shipped weights can warm-start.
+MENU = ("csr", "dia", "ell", "coo", "bitonic")
 
 
 def corpus(quick: bool):
     from ia_spgemm_tpu.io import mmio, suitesparse
 
-    sizes = (1024,) if quick else (1024, 4096, 16384)
+    sizes = (1024,) if quick else (4096, 16384, 32768)
     seeds = (0, 1) if quick else (0, 1, 2)
     for m in sizes:
         for name, a in suitesparse.synthetic_suite(m=m, seeds=seeds):
             yield name, a
+    if not quick:
+        # the headline structure class: band + random off-band entries
+        from bench import build_matrix
+        for m in (16384, 32768):
+            for seed in seeds:
+                yield (f"bandrand_{m}_{seed}",
+                       build_matrix(m=m, band=2 + seed, extra_per_row=8,
+                                    seed=seed))
     # the 9 reference fixture matrices (tiny; exercise symmetric/pattern)
     for name, path in sorted(suitesparse.local_collection().items()):
         try:
@@ -79,7 +91,7 @@ def main():
 
     steps = 120 if quick else 400
     params, history, menu = upcycle.upcycle(
-        samples, menu=MENU, init_from=None, steps=steps, batch_size=16)
+        samples, menu=MENU, init_from="Intel", steps=steps, batch_size=16)
     acc = upcycle.evaluate_pick_accuracy(params, samples, menu=MENU)
     weights.save_params_npz("weights/TPU_upcycled.npz", params)
 

@@ -216,3 +216,38 @@ def test_rowexpand_variant_matches_gather():
         got = C.to_scipy()
         got.sum_duplicates()
         assert abs(got - want).max() < 1e-4
+
+
+def test_compensated_matches_fp64_oracle():
+    """Double-double accumulation: f32 operands, fp64-grade sums. A badly
+    conditioned case (large +x paired with -x plus tiny residuals) that
+    plain f32 accumulation gets wrong by ~1e-2."""
+    import numpy as np
+    import scipy.sparse as sp
+    rng = np.random.default_rng(42)
+    m = 64
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        ks = rng.choice(m, size=6, replace=False)
+        big = rng.standard_normal() * 1e4
+        for t, k_ in enumerate(ks):
+            rows.append(r)
+            cols.append(int(k_))
+            # pairs of +/- big values with small residuals: the row sums
+            # cancel catastrophically in f32
+            vals.append(big if t % 2 == 0 else -big + rng.standard_normal())
+    a64 = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    a32 = a64.astype(np.float32)
+    # oracle on the EXACT f32-rounded inputs, accumulated in f64
+    want = (a32.astype(np.float64) @ a32.astype(np.float64)).tocsr()
+    A = CSR.from_scipy(a32)
+    C = esc.spgemm_csr_compensated(A, A)
+    got = C.to_scipy().tocsr()
+    got.sum_duplicates()
+    d = abs(got - want)
+    scale = max(1.0, abs(want).max())
+    assert (d.max() if d.nnz else 0.0) / scale < 1e-9
+    # plain f32 is measurably worse on this input
+    C32 = esc.spgemm_csr(A, A)
+    d32 = abs(C32.to_scipy().astype(np.float64) - want)
+    assert d32.max() / scale > 1e-8
