@@ -217,6 +217,17 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
 
         def compute(ab=(A, B)):
             return esc.spgemm_csr(ab[0], ab[1], plan)
+    elif name == "compensated":
+        # double-double accumulation: fp64-grade sums from f32 operands
+        if A.dtype != np.float32 or \
+                (A.nrows + 1) * (B.ncols + 1) >= 2**31:
+            res.skipped = True
+            return None
+        plan = esc.plan_spgemm(A, B, bucket=config.bucket_capacities)
+        convert_fn = None
+
+        def compute(ab=(A, B)):
+            return esc.spgemm_csr_compensated(ab[0], ab[1], plan)
     elif name == "coo":
         if not convert.coo_viable(A.nrows, int(A.nnz), ratio):
             res.skipped = True
@@ -321,10 +332,10 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         return None
     res.run_time_ms = _time_ms(run_once, warmup=0, iters=iters)
     res.verified_sum = float(C.checksum())
-    if name in ("csr", "coo"):
-        res.memory_bytes = (convert.sizeof_csr(C.nrows, int(C.nnz))
-                            if name == "csr"
-                            else convert.sizeof_coo(C.nrows, int(C.nnz)))
+    if name in ("csr", "coo", "compensated"):
+        res.memory_bytes = (convert.sizeof_coo(C.nrows, int(C.nnz))
+                            if name == "coo"
+                            else convert.sizeof_csr(C.nrows, int(C.nnz)))
     elif name in ("ell", "bitonic"):
         res.memory_bytes = convert.sizeof_ell(C.nrows, C.max_nnz_per_row)
     elif name == "dia":

@@ -29,8 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("matrix_b", nargs="?", default=None,
                    help=".mtx file for B (default: B = A)")
     p.add_argument("--mode", default="all",
-                   help="autotune | all | "
-                        "baseline|csr|coo|ell|dia|dense|bitonic|dense_row")
+                   help="autotune | all | baseline|csr|coo|ell|dia|"
+                        "dense|bitonic|dense_row|compensated")
     p.add_argument("--weights", default="Intel",
                    help="MatNet weight set (Intel|Amd|P100|path.npz)")
     p.add_argument("--testing", action="store_true",
@@ -124,7 +124,7 @@ def main(argv=None) -> int:
               f"verified_sum={float(C.checksum()):.10g}")
         return 0
 
-    algorithms = (harness.ALGORITHMS + ("bitonic", "dense")
+    algorithms = (harness.ALGORITHMS + ("bitonic", "compensated", "dense")
                   if args.mode == "all" else ("baseline", args.mode))
     rep = harness.run_benchmark(
         A, B, algorithms,
