@@ -55,6 +55,9 @@ SENTINEL = np.int32(np.iinfo(np.int32).max)
 # measured fastest at width 1024 on v5e)
 _TILE_ELEMS = 32 * 1024
 MAX_WIDTH = 16384
+# static-stride (fully unrolled) networks run ~25% faster than dynamic
+# strides but compile cost grows with stages*registers; cap by width
+STATIC_STRIDE_MAX_WIDTH = 4096
 # product-buffer budget: m * Wp * 8 bytes (key + value)
 PRODUCT_BUDGET_BYTES = 4 << 30
 
@@ -111,20 +114,37 @@ def _compare_exchange(k, v, lane, s, asc):
     return jnp.where(take, pk, k), jnp.where(take, pv, v)
 
 
-def _bitonic_sort(k, v, lane, width: int, start_kk: int = 2):
+def _bitonic_sort(k, v, lane, width: int, start_kk: int = 2,
+                  static_strides: bool = False):
     """Ascending in-row bitonic sort of (k, v) pairs over the lane axis.
 
     start_kk: the first merge round — pass 2*run when the rows arrive as
     alternating-direction sorted runs of that length (skips the first
-    log2(run) rounds). Runs the compare-exchange stages in a fori_loop with
-    LOOP-CARRIED (kk, s) strides — a fully unrolled network compiles in
-    O(stages * registers) and was measured at minutes of Mosaic compile
-    time for w >= 512; the dynamic form compiles in seconds at any width.
+    log2(run) rounds).
+
+    static_strides=False runs the compare-exchange stages in a fori_loop
+    with LOOP-CARRIED (kk, s) strides — a fully unrolled network compiles
+    in O(stages * registers) and was measured at minutes of Mosaic compile
+    time for w >= 512 with large tiles; the dynamic form compiles in
+    seconds at any width. static_strides=True unrolls with Python-int
+    shifts (single-op static rotates instead of dynamic_rotate) — faster
+    per stage, viable when tiles are small.
     """
     log_w = width.bit_length() - 1
     log_start = start_kk.bit_length() - 1   # rounds skipped: 1..log_start-1
     n_stages = log_w * (log_w + 1) // 2 - (log_start - 1) * log_start // 2
     if n_stages <= 0 or start_kk > width:
+        return k, v
+
+    if static_strides:
+        kk = start_kk
+        while kk <= width:
+            asc = (lane & kk) == 0
+            s = kk // 2
+            while s >= 1:
+                k, v = _compare_exchange(k, v, lane, s, asc)
+                s //= 2
+            kk *= 2
         return k, v
 
     def body(_, carry):
@@ -142,7 +162,7 @@ def _bitonic_sort(k, v, lane, width: int, start_kk: int = 2):
 
 
 def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
-            *, width: int, start_kk: int):
+            *, width: int, start_kk: int, static_strides: bool):
     R = key_ref.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, width), 1)
     log_w = width.bit_length() - 1
@@ -151,7 +171,7 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
 
     # ---- 1. sort each row by column key (invalid slots carry SENTINEL,
     # so they sink to the row tail) ----
-    k, v = _bitonic_sort(k, v, lane, width, start_kk)
+    k, v = _bitonic_sort(k, v, lane, width, start_kk, static_strides)
 
     # ---- 2. duplicate-run sums: segmented inclusive scan (log2 Wp
     # roll-add steps, resetting at run heads) ----
@@ -159,7 +179,7 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
 
     def scan_body(t, carry):
         s, f = carry
-        d = jnp.int32(1) << t
+        d = jnp.int32(1) << t if not static_strides else t
         edge = lane < d
         s_sh = jnp.where(edge, jnp.zeros_like(s), pltpu.roll(s, d, axis=1))
         f_sh = jnp.where(edge, 1, pltpu.roll(f, d, axis=1))
@@ -167,8 +187,16 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
         return s, f | f_sh
 
     # flags as i32 (Mosaic can't rotate i1); log2(w) doubling steps
-    s, _ = jax.lax.fori_loop(
-        0, log_w, scan_body, (v, head.astype(jnp.int32)))
+    if static_strides:
+        carry = (v, head.astype(jnp.int32))
+        d = 1
+        while d < width:
+            carry = scan_body(d, carry)
+            d *= 2
+        s, _ = carry
+    else:
+        s, _ = jax.lax.fori_loop(
+            0, log_w, scan_body, (v, head.astype(jnp.int32)))
 
     is_last = ((lane == width - 1) | (k != pltpu.roll(k, width - 1, axis=1)))
     emit = is_last & (k != SENTINEL)
@@ -179,10 +207,18 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
     # distinct), so routing destination bits LSB->MSB is collision-free —
     # log2(w) exchange stages instead of a second full bitonic sort. ----
     def rank_body(t, r):
-        d = jnp.int32(1) << t
+        d = jnp.int32(1) << t if not static_strides else t
         return r + jnp.where(lane < d, 0, pltpu.roll(r, d, axis=1))
 
-    rank = jax.lax.fori_loop(0, log_w, rank_body, emit.astype(jnp.int32))
+    if static_strides:
+        rank = emit.astype(jnp.int32)
+        d = 1
+        while d < width:
+            rank = rank_body(d, rank)
+            d *= 2
+    else:
+        rank = jax.lax.fori_loop(0, log_w, rank_body,
+                                 emit.astype(jnp.int32))
 
     k2 = jnp.where(emit, k, SENTINEL)
     v2 = jnp.where(emit, s, jnp.zeros_like(s))
@@ -191,7 +227,7 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
 
     def route_body(t, carry):
         k2, v2, dest = carry
-        bit = jnp.int32(1) << t
+        bit = jnp.int32(1) << t if not static_strides else t
         up = (lane & bit) == 0  # partner at +bit, else -bit
         back = width - bit
 
@@ -212,7 +248,16 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
         nd = jnp.where(p_crossing, pd, jnp.where(keep, dest, -1))
         return nk, nv, nd
 
-    k2, v2, _ = jax.lax.fori_loop(0, log_w, route_body, (k2, v2, dest))
+    if static_strides:
+        carry = (k2, v2, dest)
+        bit = 1
+        while bit < width:
+            carry = route_body(bit, carry)
+            bit *= 2
+        k2, v2, _ = carry
+    else:
+        k2, v2, _ = jax.lax.fori_loop(0, log_w, route_body,
+                                      (k2, v2, dest))
 
     out_col_ref[:] = jnp.where(k2 == SENTINEL, -1, k2)
     out_val_ref[:] = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
@@ -220,15 +265,20 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "start_kk", "tile_rows",
-                                    "interpret"))
+                                    "interpret", "static_strides"))
 def _sort_compress_rows(key, val, *, width: int, start_kk: int,
-                        tile_rows: int, interpret: bool):
+                        tile_rows: int, interpret: bool,
+                        static_strides: bool = False):
+    # interpreter walks unrolled networks element-by-element (~5x slower
+    # CPU tests); strides are a pure perf knob, so force dynamic there
+    static_strides = static_strides and not interpret
     m = key.shape[0]
     grid = (pl.cdiv(m, tile_rows),)
     tile = lambda w: pl.BlockSpec(  # noqa: E731
         (tile_rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, width=width, start_kk=start_kk),
+        functools.partial(_kernel, width=width, start_kk=start_kk,
+                          static_strides=static_strides),
         grid=grid,
         in_specs=[tile(width), tile(width)],
         out_specs=(tile(width), tile(width), tile(1)),
@@ -361,7 +411,8 @@ def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
         col_c, val_c, nnz_c = _sort_compress_rows(
             key, val, width=int(w), start_kk=2 * run,
             tile_rows=max(8, min(512, _TILE_ELEMS // int(w))),
-            interpret=interpret)
+            interpret=interpret,
+            static_strides=int(w) <= STATIC_STRIDE_MAX_WIDTH)
         k = len(idx)
         pad_cols = out_w - int(w)
         if pad_cols:
@@ -395,7 +446,8 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
                            width=plan.width, run=plan.run)
     col, out_val, nnz_row = _sort_compress_rows(
         key, val, width=plan.width, start_kk=2 * plan.run,
-        tile_rows=plan.tile_rows, interpret=interpret)
+        tile_rows=plan.tile_rows, interpret=interpret,
+        static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH)
     nnz_row = nnz_row[:, 0]
     return ELL(col_ind=col, values=out_val, nnz_row=nnz_row,
                nnz=jnp.sum(nnz_row).astype(jnp.int32),

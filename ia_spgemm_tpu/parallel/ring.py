@@ -228,7 +228,8 @@ def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
             val = jnp.pad(val, ((0, 0), (0, pad)))
         col, out_val, nnz_row = bitonic._sort_compress_rows(
             key, val, width=width, start_kk=2 * run,
-            tile_rows=tile_rows, interpret=interpret)
+            tile_rows=tile_rows, interpret=interpret,
+            static_strides=width <= bitonic.STATIC_STRIDE_MAX_WIDTH)
         return col[None], out_val[None], nnz_row[:, 0][None]
 
     return jax.jit(shard_map(
