@@ -39,13 +39,25 @@ class AutotuneResult:
 def select_algorithm(A: CSR, B: CSR,
                      params=None,
                      arch: Optional[dict] = None,
-                     class_menu: Sequence[str] = CPU_CLASS_TO_ALGORITHM,
+                     class_menu: Optional[Sequence[str]] = None,
                      weight_name: str = "Intel") -> AutotuneResult:
-    """Pick the predicted-fastest algorithm for C = A @ B."""
+    """Pick the predicted-fastest algorithm for C = A @ B.
+
+    weight_name may be a shipped set (Intel/Amd/P100) or a path to an
+    upcycled .npz; upcycled files carry their own class menu."""
     if params is None:
-        params, arch = weights.import_reference_weights(weight_name)
+        if weight_name.endswith(".npz") and "/" in weight_name:
+            params, menu = weights.load_params_npz(weight_name,
+                                                   with_menu=True)
+            arch = weights.infer_arch(params)
+            if class_menu is None and menu is not None:
+                class_menu = menu
+        else:
+            params, arch = weights.import_reference_weights(weight_name)
     if arch is None:
         arch = weights.infer_arch(params)
+    if class_menu is None:
+        class_menu = CPU_CLASS_TO_ALGORITHM
 
     fv = np.asarray(features.feature_vector(A, B), dtype=np.float64)
     nf = arch["num_features"]
@@ -97,6 +109,20 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
     if algo == "coo":
         C = esc.spgemm_coo(convert.csr_to_coo(A), convert.csr_to_coo(B))
         return convert.coo_to_csr(C), sel
+    if algo == "bitonic":
+        # upcycled menus name the flagship kernel directly
+        from ia_spgemm_tpu.ops import bitonic as bt_ops
+        Ae = convert.csr_to_ell(A, check_guard=False)
+        Be = convert.csr_to_ell(B, check_guard=False)
+        C = bt_ops.spgemm_bitonic_bucketed(Ae, Be)
+        if C is not None:
+            return convert.ell_to_csr(C), sel
+        algo = "csr"
+    if algo == "compensated":
+        try:
+            return esc.spgemm_csr_compensated(A, B), sel
+        except ValueError:
+            algo = "csr"
     if algo == "baseline" and A.nrows * B.ncols <= 4 * 1024 * 1024:
         C = dense_ops.spgemm_dense(A, B)
         return convert.dense_to_csr(C), sel

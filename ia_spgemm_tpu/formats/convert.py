@@ -190,16 +190,19 @@ def _csr_to_dia_fill(row_ptr, col_ind, values, nnz, offsets,
     idx = jnp.arange(cap, dtype=jnp.int32)
     row = jnp.clip(scan_utils.entry_rows(row_ptr, cap), 0, nrows - 1)
     off = col_ind - row
-    slot = jnp.searchsorted(offsets, off).astype(jnp.int32)
+    # slot lookup through the dense diag->slot map (the reference's
+    # diagonal_ind, dia/common_dia.h:63-71): one small scatter + one
+    # gather per entry, instead of a per-entry binary search
+    dense_idx = offsets + (nrows - 1)
+    diag_ind = jnp.full(nrows + ncols - 1, -1, dtype=jnp.int32)
+    diag_ind = diag_ind.at[dense_idx].set(
+        jnp.arange(num_diagonals, dtype=jnp.int32))
+    slot = diag_ind[jnp.clip(off + nrows - 1, 0, nrows + ncols - 2)]
     slot = jnp.clip(slot, 0, num_diagonals - 1)
     valid = idx < nnz
     flat = jnp.where(valid, row * num_diagonals + slot, nrows * num_diagonals)
     vals = jnp.zeros(nrows * num_diagonals + 1, dtype=values.dtype)
     vals = vals.at[flat].set(jnp.where(valid, values, 0))
-    dense_idx = offsets + (nrows - 1)  # reference's diagonal_ind indexing
-    diag_ind = jnp.full(nrows + ncols - 1, -1, dtype=jnp.int32)
-    diag_ind = diag_ind.at[dense_idx].set(
-        jnp.arange(num_diagonals, dtype=jnp.int32))
     return vals[:-1].reshape(nrows, num_diagonals), diag_ind
 
 

@@ -93,8 +93,10 @@ def import_reference_weights(name: str = "Intel"):
     return params, infer_arch(params)
 
 
-def save_params_npz(path: str, params) -> None:
-    """Flat .npz checkpoint (framework-native, no h5 dependency)."""
+def save_params_npz(path: str, params, menu=None) -> None:
+    """Flat .npz checkpoint (framework-native, no h5 dependency). `menu`
+    optionally records the class->algorithm mapping the weights were
+    trained for (upcycled selectors)."""
     flat = {}
 
     def rec(prefix, tree):
@@ -105,17 +107,23 @@ def save_params_npz(path: str, params) -> None:
             else:
                 flat[key] = np.asarray(v)
     rec("", params)
+    if menu is not None:
+        flat["__menu__"] = np.asarray(list(menu))
     np.savez(path, **flat)
 
 
-def load_params_npz(path: str):
+def load_params_npz(path: str, with_menu: bool = False):
     import jax.numpy as jnp
     data = np.load(path)
     params: Dict = {}
+    menu = None
     for key in data.files:
+        if key == "__menu__":
+            menu = tuple(str(x) for x in data[key])
+            continue
         parts = key.split("/")
         node = params
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = jnp.asarray(data[key])
-    return params
+    return (params, menu) if with_menu else params

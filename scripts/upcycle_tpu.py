@@ -93,7 +93,7 @@ def main():
     params, history, menu = upcycle.upcycle(
         samples, menu=MENU, init_from="Intel", steps=steps, batch_size=16)
     acc = upcycle.evaluate_pick_accuracy(params, samples, menu=MENU)
-    weights.save_params_npz("weights/TPU_upcycled.npz", params)
+    weights.save_params_npz("weights/TPU_upcycled.npz", params, menu=MENU)
 
     report = {
         "menu": list(MENU),
