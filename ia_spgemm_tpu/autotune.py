@@ -98,10 +98,15 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
     if algo == "ell":
         Ae, Be = convert.csr_to_ell(A), convert.csr_to_ell(B)
         if Ae is not None and Be is not None:
-            # the bitonic ELL-pair kernel is the fast path (row-bucketed
-            # for skew); the row-local ELL kernel covers rejected plans
+            # the bitonic ELL-pair kernel is the fast path; bucketed
+            # extends viability for skewed rows; row-local ELL covers the
+            # rest
             from ia_spgemm_tpu.ops import bitonic as bt_ops
-            C = bt_ops.spgemm_bitonic_bucketed(Ae, Be)
+            plan = bt_ops.plan_bitonic(Ae, Be)
+            if plan.viable:
+                C = bt_ops.spgemm_bitonic(Ae, Be, plan)
+            else:
+                C = bt_ops.spgemm_bitonic_bucketed(Ae, Be)
             if C is None:
                 C = ell_ops.spgemm_ell(Ae, Be)
             return convert.ell_to_csr(C), sel
@@ -114,7 +119,9 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
         from ia_spgemm_tpu.ops import bitonic as bt_ops
         Ae = convert.csr_to_ell(A, check_guard=False)
         Be = convert.csr_to_ell(B, check_guard=False)
-        C = bt_ops.spgemm_bitonic_bucketed(Ae, Be)
+        plan = bt_ops.plan_bitonic(Ae, Be)
+        C = (bt_ops.spgemm_bitonic(Ae, Be, plan) if plan.viable
+             else bt_ops.spgemm_bitonic_bucketed(Ae, Be))
         if C is not None:
             return convert.ell_to_csr(C), sel
         algo = "csr"

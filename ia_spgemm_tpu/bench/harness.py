@@ -296,12 +296,12 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
                     convert.csr_to_ell(B, check_guard=False))
 
         def compute(ab):
-            # bucketed covers skewed rows past the flat width guard and
-            # matches the flat kernel when rows are uniform
-            out = bt_ops.spgemm_bitonic_bucketed(ab[0], ab[1])
-            if out is None:
-                out = bt_ops.spgemm_bitonic(ab[0], ab[1], flat_plan)
-            return out
+            # flat kernel when viable (ONE dispatch); the row-bucketed
+            # variant extends viability past the width guard but pays one
+            # dispatch per class — a pessimization for uniform rows
+            if flat_plan.viable:
+                return bt_ops.spgemm_bitonic(ab[0], ab[1], flat_plan)
+            return bt_ops.spgemm_bitonic_bucketed(ab[0], ab[1])
     else:
         raise ValueError(f"unknown algorithm {name!r}")
 
