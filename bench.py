@@ -53,7 +53,7 @@ def main():
     # --- baseline: scipy CSR @ CSR on the host (vendor-library role) ---
     c_ref = a @ a
     scipy_times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         a @ a
         scipy_times.append((time.perf_counter() - t0) * 1e3)
