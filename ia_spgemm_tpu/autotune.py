@@ -26,6 +26,10 @@ from ia_spgemm_tpu.ops import density, features
 # Reference CPU class index -> our algorithm menu.
 # Class 0 is the vendor baseline (MKL there, scipy-host/dense-MXU here).
 CPU_CLASS_TO_ALGORITHM = ("baseline", "csr", "dia", "ell", "coo")
+# Reference GPU classes (main.cu:539-544): CUSP (library ESC over COO) ->
+# our COO-ESC; cuSPARSE (vendor CSR) -> our CSR-ESC; NSPARSE (row-class
+# hash kernels, unimplemented in the reference) -> our bitonic slot.
+GPU_CLASS_TO_ALGORITHM = ("coo", "csr", "bitonic")
 
 
 @dataclasses.dataclass
@@ -57,7 +61,9 @@ def select_algorithm(A: CSR, B: CSR,
     if arch is None:
         arch = weights.infer_arch(params)
     if class_menu is None:
-        class_menu = CPU_CLASS_TO_ALGORITHM
+        class_menu = (GPU_CLASS_TO_ALGORITHM
+                      if arch.get("num_classes") == 3
+                      else CPU_CLASS_TO_ALGORITHM)
 
     fv = np.asarray(features.feature_vector(A, B), dtype=np.float64)
     nf = arch["num_features"]

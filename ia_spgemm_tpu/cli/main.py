@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--no-matnet", action="store_true",
                    help="skip the MatNet prediction")
+    p.add_argument("--transpose-b", action="store_true",
+                   help="use B = A^T (the reference GPU driver's workload,"
+                        " main.cu:260-269)")
     return p
 
 
@@ -92,6 +95,9 @@ def main(argv=None) -> int:
             return 1
     else:
         B = A
+    if args.transpose_b:
+        from ia_spgemm_tpu.formats import convert as _conv
+        B = _conv.transpose_csr(B)
     print(f"Activation Matrix (B): {B.nrows}x{B.ncols} nnz={int(B.nnz)}")
     if A.ncols != B.nrows:
         print(f"shape mismatch: {A.shape} @ {B.shape}", file=sys.stderr)

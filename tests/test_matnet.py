@@ -133,3 +133,20 @@ def test_npz_roundtrip(tmp_path):
     a = np.asarray(matnet.predict_logits(params, img1, img2, feats))
     b = np.asarray(matnet.predict_logits(back, img1, img2, feats))
     np.testing.assert_allclose(a, b)
+
+
+def test_p100_gpu_menu_selection():
+    """GPU weight set: 18 features, 3 classes mapped to (coo, csr, bitonic)
+    — the reference's CUSP/cuSPARSE/NSPARSE menu (main.cu:539-544)."""
+    from ia_spgemm_tpu import autotune
+    from ia_spgemm_tpu.formats.types import CSR
+    from tests import fixtures
+    a = fixtures.random_csr(24, 24, density=0.2, seed=7)
+    A = CSR.from_scipy(a)
+    try:
+        sel = autotune.select_algorithm(A, A, weight_name="P100")
+    except FileNotFoundError:
+        import pytest as _pytest
+        _pytest.skip("P100 weights not present")
+    assert sel.algorithm in autotune.GPU_CLASS_TO_ALGORITHM
+    assert len(sel.logits) == 3
