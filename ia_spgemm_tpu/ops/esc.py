@@ -224,6 +224,15 @@ def _sort_compress(i, j, v, valid, *, out_cap: int, m: int, n: int):
     """
     e_cap = v.shape[0]
     val_dtype = v.dtype
+    if out_cap > e_cap:
+        # tiny problems: the expansion can be smaller than the bucketed
+        # output capacity; pad so the [:out_cap] compaction slices hold
+        pad = out_cap - e_cap
+        i = jnp.pad(i, (0, pad))
+        j = jnp.pad(j, (0, pad))
+        v = jnp.pad(v, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        e_cap = out_cap
 
     # ---- sort by (i, j): fused int32 key when m*n fits, else 2-key ----
     fused = (m + 1) * (n + 1) < 2**31
@@ -459,6 +468,14 @@ def _esc_core_dd(a_row, a_col, a_val, a_nnz, b_row_ptr, b_col, b_val,
     hi, lo = _two_product(av_t, bv)
     hi = jnp.where(valid, hi, 0.0)
     lo = jnp.where(valid, lo, 0.0)
+
+    if out_cap > e_cap:
+        pad = out_cap - e_cap
+        i = jnp.pad(i, (0, pad))
+        j = jnp.pad(j, (0, pad))
+        hi = jnp.pad(hi, (0, pad))
+        lo = jnp.pad(lo, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
 
     key = jnp.where(valid, i * n + j, jnp.int32(m * n))
     key_s, hi_s, lo_s = jax.lax.sort((key, hi, lo), num_keys=1)
