@@ -263,6 +263,162 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
     out_val_ref[:] = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
 
 
+def _kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
+              *, width: int, start_kk: int, static_strides: bool):
+    """Transposed layout: each COLUMN is one row's products; all rotates
+    run along the SUBLANE axis — measured ~3x cheaper than lane rotates
+    on v5e (8.2 vs 24.2 ms for 120 rotates over 33.5M elements)."""
+    L = key_ref.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+    log_w = width.bit_length() - 1
+    k = key_ref[:]
+    v = val_ref[:]
+
+    def cx(k, v, s, asc):
+        up = (sub & s) == 0
+        kf = pltpu.roll(k, width - s, axis=0)
+        kb_ = pltpu.roll(k, s, axis=0)
+        vf = pltpu.roll(v, width - s, axis=0)
+        vb = pltpu.roll(v, s, axis=0)
+        pk = jnp.where(up, kf, kb_)
+        pv = jnp.where(up, vf, vb)
+        want_small = asc == up
+        take = (want_small & (pk < k)) | (~want_small & (pk > k))
+        return jnp.where(take, pk, k), jnp.where(take, pv, v)
+
+    if static_strides:
+        kk = start_kk
+        while kk <= width:
+            asc = (sub & kk) == 0
+            s = kk // 2
+            while s >= 1:
+                k, v = cx(k, v, s, asc)
+                s //= 2
+            kk *= 2
+    else:
+        def body(_, carry):
+            k, v, kk, s = carry
+            asc = (sub & kk) == 0
+            k, v = cx(k, v, s, asc)
+            nkk = jnp.where(s == 1, kk * 2, kk)
+            ns = jnp.where(s == 1, kk, s // 2)
+            return k, v, nkk, ns
+        log_start = start_kk.bit_length() - 1
+        n_stages = (log_w * (log_w + 1) // 2
+                    - (log_start - 1) * log_start // 2)
+        if n_stages > 0 and start_kk <= width:
+            k, v, _, _ = jax.lax.fori_loop(
+                0, n_stages, body,
+                (k, v, jnp.int32(start_kk), jnp.int32(start_kk // 2)))
+
+    head = (sub == 0) | (k != pltpu.roll(k, 1, axis=0))
+
+    def scan_body(t, carry):
+        s, f = carry
+        d = jnp.int32(1) << t if not static_strides else t
+        edge = sub < d
+        s_sh = jnp.where(edge, jnp.zeros_like(s), pltpu.roll(s, d, axis=0))
+        f_sh = jnp.where(edge, 1, pltpu.roll(f, d, axis=0))
+        s = jnp.where(f > 0, s, s + s_sh)
+        return s, f | f_sh
+
+    if static_strides:
+        carry = (v, head.astype(jnp.int32))
+        d = 1
+        while d < width:
+            carry = scan_body(d, carry)
+            d *= 2
+        s, _ = carry
+    else:
+        s, _ = jax.lax.fori_loop(0, log_w, scan_body,
+                                 (v, head.astype(jnp.int32)))
+
+    is_last = ((sub == width - 1) | (k != pltpu.roll(k, width - 1, axis=0)))
+    emit = is_last & (k != SENTINEL)
+    nnz_ref[:] = jnp.sum(emit.astype(jnp.int32), axis=0, keepdims=True)
+
+    def rank_body(t, r):
+        d = jnp.int32(1) << t if not static_strides else t
+        return r + jnp.where(sub < d, 0, pltpu.roll(r, d, axis=0))
+
+    if static_strides:
+        rank = emit.astype(jnp.int32)
+        d = 1
+        while d < width:
+            rank = rank_body(d, rank)
+            d *= 2
+    else:
+        rank = jax.lax.fori_loop(0, log_w, rank_body,
+                                 emit.astype(jnp.int32))
+
+    k2 = jnp.where(emit, k, SENTINEL)
+    v2 = jnp.where(emit, s, jnp.zeros_like(s))
+    dest = jnp.where(emit, rank - 1, -1)
+
+    def route_body(t, carry):
+        k2, v2, dest = carry
+        bit = jnp.int32(1) << t if not static_strides else t
+        up = (sub & bit) == 0
+        back = width - bit
+
+        def partner(x):
+            return jnp.where(up, pltpu.roll(x, back, axis=0),
+                             pltpu.roll(x, bit, axis=0))
+
+        pd = partner(dest)
+        pk = partner(k2)
+        pv = partner(v2)
+        crossing = (dest >= 0) & (((sub ^ dest) & bit) > 0)
+        p_crossing = (pd >= 0) & (((sub ^ pd) & bit) == 0)
+        keep = (dest >= 0) & ~crossing
+        nk = jnp.where(p_crossing, pk, jnp.where(keep, k2, SENTINEL))
+        nv = jnp.where(p_crossing, pv, jnp.where(keep, v2,
+                                                 jnp.zeros_like(v2)))
+        nd = jnp.where(p_crossing, pd, jnp.where(keep, dest, -1))
+        return nk, nv, nd
+
+    if static_strides:
+        carry = (k2, v2, dest)
+        bit = 1
+        while bit < width:
+            carry = route_body(bit, carry)
+            bit *= 2
+        k2, v2, _ = carry
+    else:
+        k2, v2, _ = jax.lax.fori_loop(0, log_w, route_body,
+                                      (k2, v2, dest))
+
+    out_col_ref[:] = jnp.where(k2 == SENTINEL, -1, k2)
+    out_val_ref[:] = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
+
+
+_TILE_LANES = 128  # rows per transposed tile
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "start_kk", "interpret",
+                                    "static_strides"))
+def _sort_compress_cols(key_t, val_t, *, width: int, start_kk: int,
+                        interpret: bool, static_strides: bool = True):
+    """Transposed-layout entry: key_t/val_t are (width, m)."""
+    static_strides = static_strides and not interpret
+    m = key_t.shape[1]
+    grid = (pl.cdiv(m, _TILE_LANES),)
+    tile = lambda h: pl.BlockSpec(  # noqa: E731
+        (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel_t, width=width, start_kk=start_kk,
+                          static_strides=static_strides),
+        grid=grid,
+        in_specs=[tile(width), tile(width)],
+        out_specs=(tile(width), tile(width), tile(1)),
+        out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
+                   jax.ShapeDtypeStruct((width, m), val_t.dtype),
+                   jax.ShapeDtypeStruct((1, m), jnp.int32)),
+        interpret=interpret,
+    )(key_t, val_t)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "start_kk", "tile_rows",
                                     "interpret", "static_strides"))
@@ -430,10 +586,23 @@ def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
                shape=(A.nrows, B.ncols))
 
 
+# the (width, 128) transposed tiles hold ~10 live arrays; widths past this
+# overflow the ~16MB scoped VMEM
+TRANSPOSED_MAX_WIDTH = 2048
+
+
 def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
-                   interpret: bool | None = None) -> ELL:
+                   interpret: bool | None = None,
+                   layout: str = "auto") -> ELL:
     """C = A @ B via per-row VMEM bitonic sort-compress. Returns canonical
-    left-justified ELL with ascending columns per row."""
+    left-justified ELL with ascending columns per row.
+
+    layout: "rows" (default/auto) tiles rows along sublanes; "cols" is the
+    EXPERIMENTAL transposed kernel (products along sublanes). Static
+    sublane rotates measured ~3x cheaper than lane rotates, but the
+    unrolled transposed kernel overflows scoped VMEM at width 1024 and the
+    dynamic form's rotates lose the advantage (101 vs 67 ms end-to-end),
+    so transposed stays opt-in pending a lifetime-tightened kernel."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     if plan is None:
@@ -444,11 +613,20 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
         interpret = jax.default_backend() != "tpu"
     key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
                            width=plan.width, run=plan.run)
-    col, out_val, nnz_row = _sort_compress_rows(
-        key, val, width=plan.width, start_kk=2 * plan.run,
-        tile_rows=plan.tile_rows, interpret=interpret,
-        static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH)
-    nnz_row = nnz_row[:, 0]
+    if layout == "cols":
+        col_t, val_t, nnz_t = _sort_compress_cols(
+            key.T, val.T, width=plan.width, start_kk=2 * plan.run,
+            interpret=interpret,
+            static_strides=plan.width <= 512)
+        col = col_t.T
+        out_val = val_t.T
+        nnz_row = nnz_t[0]
+    else:
+        col, out_val, nnz_row = _sort_compress_rows(
+            key, val, width=plan.width, start_kk=2 * plan.run,
+            tile_rows=plan.tile_rows, interpret=interpret,
+            static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH)
+        nnz_row = nnz_row[:, 0]
     return ELL(col_ind=col, values=out_val, nnz_row=nnz_row,
                nnz=jnp.sum(nnz_row).astype(jnp.int32),
                shape=(A.nrows, B.ncols))

@@ -158,3 +158,14 @@ def test_bucketed_viability_beyond_global_max():
     a.data[:] = rng.standard_normal(a.nnz)
     A = _ell(a)
     assert bitonic.spgemm_bitonic_bucketed(A, A) is not None
+
+
+def test_transposed_layout_matches(tmp_path):
+    a = fixtures.random_csr(40, 40, density=0.15, seed=12)
+    A = _ell(a)
+    C1 = bitonic.spgemm_bitonic(A, A, layout="rows")
+    C2 = bitonic.spgemm_bitonic(A, A, layout="cols")
+    assert (np.asarray(C1.col_ind) == np.asarray(C2.col_ind)).all()
+    np.testing.assert_allclose(np.asarray(C1.values),
+                               np.asarray(C2.values), rtol=1e-6)
+    assert (np.asarray(C1.nnz_row) == np.asarray(C2.nnz_row)).all()
