@@ -263,17 +263,22 @@ def _kernel(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
     out_val_ref[:] = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
 
 
-def _kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
-              *, width: int, start_kk: int, static_strides: bool):
-    """Transposed layout: each COLUMN is one row's products; all rotates
-    run along the SUBLANE axis — measured ~3x cheaper than lane rotates
-    on v5e (8.2 vs 24.2 ms for 120 rotates over 33.5M elements)."""
+_TILE_LANES = 128  # rows per transposed tile
+
+
+def _sort_only_kernel_t(key_ref, val_ref, out_k_ref, out_v_ref,
+                        *, width: int, start_kk: int,
+                        static_strides: bool):
     L = key_ref.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
-    log_w = width.bit_length() - 1
-    k = key_ref[:]
-    v = val_ref[:]
+    k, v = _bitonic_sort_t(key_ref[:], val_ref[:], sub, width, start_kk,
+                           static_strides)
+    out_k_ref[:] = k
+    out_v_ref[:] = v
 
+
+def _bitonic_sort_t(k, v, sub, width: int, start_kk: int,
+                    static_strides: bool):
     def cx(k, v, s, asc):
         up = (sub & s) == 0
         kf = pltpu.roll(k, width - s, axis=0)
@@ -295,21 +300,37 @@ def _kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
                 k, v = cx(k, v, s, asc)
                 s //= 2
             kk *= 2
-    else:
-        def body(_, carry):
-            k, v, kk, s = carry
-            asc = (sub & kk) == 0
-            k, v = cx(k, v, s, asc)
-            nkk = jnp.where(s == 1, kk * 2, kk)
-            ns = jnp.where(s == 1, kk, s // 2)
-            return k, v, nkk, ns
-        log_start = start_kk.bit_length() - 1
-        n_stages = (log_w * (log_w + 1) // 2
-                    - (log_start - 1) * log_start // 2)
-        if n_stages > 0 and start_kk <= width:
-            k, v, _, _ = jax.lax.fori_loop(
-                0, n_stages, body,
-                (k, v, jnp.int32(start_kk), jnp.int32(start_kk // 2)))
+        return k, v
+
+    def body(_, carry):
+        k, v, kk, s = carry
+        asc = (sub & kk) == 0
+        k, v = cx(k, v, s, asc)
+        nkk = jnp.where(s == 1, kk * 2, kk)
+        ns = jnp.where(s == 1, kk, s // 2)
+        return k, v, nkk, ns
+
+    log_w = width.bit_length() - 1
+    log_start = start_kk.bit_length() - 1
+    n_stages = log_w * (log_w + 1) // 2 - (log_start - 1) * log_start // 2
+    if n_stages > 0 and start_kk <= width:
+        k, v, _, _ = jax.lax.fori_loop(
+            0, n_stages, body,
+            (k, v, jnp.int32(start_kk), jnp.int32(start_kk // 2)))
+    return k, v
+
+
+def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
+                       *, width: int, static_strides: bool):
+    """Compress phase on pre-sorted transposed tiles: segmented scan,
+    rank, omega routing — split from the sort so each kernel's live-array
+    set fits scoped VMEM with the static-stride (cheap sublane rotate)
+    form."""
+    L = key_ref.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+    log_w = width.bit_length() - 1
+    k = key_ref[:]
+    v = val_ref[:]
 
     head = (sub == 0) | (k != pltpu.roll(k, 1, axis=0))
 
@@ -392,22 +413,32 @@ def _kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
     out_val_ref[:] = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
 
 
-_TILE_LANES = 128  # rows per transposed tile
-
-
 @functools.partial(jax.jit,
                    static_argnames=("width", "start_kk", "interpret",
                                     "static_strides"))
 def _sort_compress_cols(key_t, val_t, *, width: int, start_kk: int,
                         interpret: bool, static_strides: bool = True):
-    """Transposed-layout entry: key_t/val_t are (width, m)."""
+    """Transposed-layout entry: key_t/val_t are (width, m). Two Pallas
+    calls (sort, then compress) so each stays under scoped VMEM with the
+    static-stride sublane-rotate form."""
     static_strides = static_strides and not interpret
     m = key_t.shape[1]
     grid = (pl.cdiv(m, _TILE_LANES),)
     tile = lambda h: pl.BlockSpec(  # noqa: E731
         (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    k_s, v_s = pl.pallas_call(
+        functools.partial(_sort_only_kernel_t, width=width,
+                          start_kk=start_kk,
+                          static_strides=static_strides),
+        grid=grid,
+        in_specs=[tile(width), tile(width)],
+        out_specs=(tile(width), tile(width)),
+        out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
+                   jax.ShapeDtypeStruct((width, m), val_t.dtype)),
+        interpret=interpret,
+    )(key_t, val_t)
     return pl.pallas_call(
-        functools.partial(_kernel_t, width=width, start_kk=start_kk,
+        functools.partial(_compress_kernel_t, width=width,
                           static_strides=static_strides),
         grid=grid,
         in_specs=[tile(width), tile(width)],
@@ -416,7 +447,7 @@ def _sort_compress_cols(key_t, val_t, *, width: int, start_kk: int,
                    jax.ShapeDtypeStruct((width, m), val_t.dtype),
                    jax.ShapeDtypeStruct((1, m), jnp.int32)),
         interpret=interpret,
-    )(key_t, val_t)
+    )(k_s, v_s)
 
 
 @functools.partial(jax.jit,
@@ -617,7 +648,7 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
         col_t, val_t, nnz_t = _sort_compress_cols(
             key.T, val.T, width=plan.width, start_kk=2 * plan.run,
             interpret=interpret,
-            static_strides=plan.width <= 512)
+            static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH)
         col = col_t.T
         out_val = val_t.T
         nnz_row = nnz_t[0]
