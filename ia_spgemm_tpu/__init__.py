@@ -23,3 +23,23 @@ hipdac-lab/IA-SpGEMM (reference mounted at /root/reference):
 __version__ = "0.1.0"
 
 from ia_spgemm_tpu.formats.types import CSR, COO, ELL, DIA, Dense  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import ia_spgemm_tpu` light)."""
+    if name == "spgemm":
+        from ia_spgemm_tpu.ops.esc import spgemm_csr
+        return spgemm_csr
+    if name == "spgemm_auto":
+        from ia_spgemm_tpu.autotune import spgemm_auto
+        return spgemm_auto
+    if name == "spgemm_bitonic":
+        from ia_spgemm_tpu.ops.bitonic import spgemm_bitonic
+        return spgemm_bitonic
+    if name == "spgemm_compensated":
+        from ia_spgemm_tpu.ops.esc import spgemm_csr_compensated
+        return spgemm_csr_compensated
+    if name == "read_mtx_to_csr":
+        from ia_spgemm_tpu.io.mmio import read_mtx_to_csr
+        return read_mtx_to_csr
+    raise AttributeError(name)

@@ -81,10 +81,15 @@ def find_weights(name: str = "Intel") -> str:
     raise FileNotFoundError(name)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def import_reference_weights(name: str = "Intel"):
     """Load a reference weight set -> (params, arch dict). Prefers the
     repo-local npz snapshot (converted once from the shipped h5); falls back
-    to parsing the mounted h5 directly."""
+    to parsing the mounted h5 directly. Cached — the reference reloads its
+    h5 on EVERY prediction (MatNet.py:81); we pay the parse once."""
     path = find_weights(name)
     if path.endswith(".npz"):
         params = load_params_npz(path)

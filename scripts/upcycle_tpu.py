@@ -37,7 +37,7 @@ def corpus(quick: bool):
     from ia_spgemm_tpu.io import mmio, suitesparse
 
     sizes = (1024,) if quick else (4096, 16384, 32768)
-    seeds = (0, 1) if quick else (0, 1, 2)
+    seeds = (0, 1) if quick else (0, 1, 2, 3, 4, 5)
     for m in sizes:
         for name, a in suitesparse.synthetic_suite(m=m, seeds=seeds):
             yield name, a
