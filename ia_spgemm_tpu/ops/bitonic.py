@@ -268,11 +268,19 @@ _TILE_LANES = 128  # rows per transposed tile
 
 def _sort_only_kernel_t(key_ref, val_ref, out_k_ref, out_v_ref,
                         *, width: int, start_kk: int,
-                        static_strides: bool):
-    L = key_ref.shape[1]
+                        static_strides: bool, transpose_in: bool):
+    """transpose_in: refs are row-major (L, width) tiles; transpose to the
+    (width, L) sublane-sort layout IN VMEM (cheaper than XLA's HBM
+    round-trip transposes)."""
+    if transpose_in:
+        k0 = key_ref[:].T
+        v0 = val_ref[:].T
+    else:
+        k0 = key_ref[:]
+        v0 = val_ref[:]
+    L = k0.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
-    k, v = _bitonic_sort_t(key_ref[:], val_ref[:], sub, width, start_kk,
-                           static_strides)
+    k, v = _bitonic_sort_t(k0, v0, sub, width, start_kk, static_strides)
     out_k_ref[:] = k
     out_v_ref[:] = v
 
@@ -321,11 +329,12 @@ def _bitonic_sort_t(k, v, sub, width: int, start_kk: int,
 
 
 def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
-                       *, width: int, static_strides: bool):
+                       *, width: int, static_strides: bool,
+                       transpose_out: bool):
     """Compress phase on pre-sorted transposed tiles: segmented scan,
     rank, omega routing — split from the sort so each kernel's live-array
     set fits scoped VMEM with the static-stride (cheap sublane rotate)
-    form."""
+    form. transpose_out: write row-major (L, width) tiles."""
     L = key_ref.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
     log_w = width.bit_length() - 1
@@ -356,7 +365,8 @@ def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
 
     is_last = ((sub == width - 1) | (k != pltpu.roll(k, width - 1, axis=0)))
     emit = is_last & (k != SENTINEL)
-    nnz_ref[:] = jnp.sum(emit.astype(jnp.int32), axis=0, keepdims=True)
+    # nnz block is always row-major (L, 1) — a tiny in-VMEM transpose
+    nnz_ref[:] = jnp.sum(emit.astype(jnp.int32), axis=0, keepdims=True).T
 
     def rank_body(t, r):
         d = jnp.int32(1) << t if not static_strides else t
@@ -409,45 +419,61 @@ def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
         k2, v2, _ = jax.lax.fori_loop(0, log_w, route_body,
                                       (k2, v2, dest))
 
-    out_col_ref[:] = jnp.where(k2 == SENTINEL, -1, k2)
-    out_val_ref[:] = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
+    col = jnp.where(k2 == SENTINEL, -1, k2)
+    out_v = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
+    if transpose_out:
+        out_col_ref[:] = col.T
+        out_val_ref[:] = out_v.T
+    else:
+        out_col_ref[:] = col
+        out_val_ref[:] = out_v
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "start_kk", "interpret",
                                     "static_strides"))
-def _sort_compress_cols(key_t, val_t, *, width: int, start_kk: int,
+def _sort_compress_cols(key, val, *, width: int, start_kk: int,
                         interpret: bool, static_strides: bool = True):
-    """Transposed-layout entry: key_t/val_t are (width, m). Two Pallas
+    """Transposed-layout entry: key/val are ROW-major (m, width); the
+    transposes to/from the sublane-sort layout happen IN VMEM inside the
+    kernels (XLA-level transposes cost an HBM round trip each). Two Pallas
     calls (sort, then compress) so each stays under scoped VMEM with the
-    static-stride sublane-rotate form."""
+    static-stride sublane-rotate form. Returns row-major
+    (col (m, width), val (m, width), nnz (m, 1))."""
     static_strides = static_strides and not interpret
-    m = key_t.shape[1]
+    m = key.shape[0]
     grid = (pl.cdiv(m, _TILE_LANES),)
-    tile = lambda h: pl.BlockSpec(  # noqa: E731
+    row_tile = lambda w: pl.BlockSpec(  # noqa: E731
+        (_TILE_LANES, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    colt = lambda h: pl.BlockSpec(  # noqa: E731
         (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
     k_s, v_s = pl.pallas_call(
         functools.partial(_sort_only_kernel_t, width=width,
                           start_kk=start_kk,
-                          static_strides=static_strides),
+                          static_strides=static_strides,
+                          transpose_in=True),
         grid=grid,
-        in_specs=[tile(width), tile(width)],
-        out_specs=(tile(width), tile(width)),
+        in_specs=[row_tile(width), row_tile(width)],
+        out_specs=(colt(width), colt(width)),
         out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
-                   jax.ShapeDtypeStruct((width, m), val_t.dtype)),
+                   jax.ShapeDtypeStruct((width, m), val.dtype)),
         interpret=interpret,
-    )(key_t, val_t)
-    return pl.pallas_call(
+    )(key, val)
+    col_t, val_t, nnz = pl.pallas_call(
         functools.partial(_compress_kernel_t, width=width,
-                          static_strides=static_strides),
+                          static_strides=static_strides,
+                          transpose_out=False),
         grid=grid,
-        in_specs=[tile(width), tile(width)],
-        out_specs=(tile(width), tile(width), tile(1)),
+        in_specs=[colt(width), colt(width)],
+        out_specs=(colt(width), colt(width), row_tile(1)),
         out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
-                   jax.ShapeDtypeStruct((width, m), val_t.dtype),
-                   jax.ShapeDtypeStruct((1, m), jnp.int32)),
+                   jax.ShapeDtypeStruct((width, m), val.dtype),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32)),
         interpret=interpret,
     )(k_s, v_s)
+    # (in-VMEM transpose_out overflowed scoped VMEM by ~20% at width 1024;
+    # the two output transposes stay in XLA)
+    return col_t.T, val_t.T, nnz
 
 
 @functools.partial(jax.jit,
@@ -618,8 +644,8 @@ def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
 
 
 # the (width, 128) transposed tiles hold ~10 live arrays; widths past this
-# overflow the ~16MB scoped VMEM
-TRANSPOSED_MAX_WIDTH = 2048
+# risk the ~16MB scoped VMEM limit (1024 validated on chip)
+TRANSPOSED_MAX_WIDTH = 1024
 
 
 def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
@@ -628,12 +654,11 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
     """C = A @ B via per-row VMEM bitonic sort-compress. Returns canonical
     left-justified ELL with ascending columns per row.
 
-    layout: "rows" (default/auto) tiles rows along sublanes; "cols" is the
-    EXPERIMENTAL transposed kernel (products along sublanes). Static
-    sublane rotates measured ~3x cheaper than lane rotates, but the
-    unrolled transposed kernel overflows scoped VMEM at width 1024 and the
-    dynamic form's rotates lose the advantage (101 vs 67 ms end-to-end),
-    so transposed stays opt-in pending a lifetime-tightened kernel."""
+    layout: "auto" picks the transposed kernel (products along SUBLANES,
+    whose static rotates measured ~3x cheaper than lane rotates; inputs
+    transpose IN VMEM, outputs via XLA) for widths within its VMEM
+    budget — measured ~10% faster end-to-end at width 1024 — and the
+    row-major kernel otherwise. "rows"/"cols" force a variant."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     if plan is None:
@@ -644,14 +669,13 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
         interpret = jax.default_backend() != "tpu"
     key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
                            width=plan.width, run=plan.run)
-    if layout == "cols":
-        col_t, val_t, nnz_t = _sort_compress_cols(
-            key.T, val.T, width=plan.width, start_kk=2 * plan.run,
+    if layout == "cols" or (layout == "auto"
+                            and plan.width <= TRANSPOSED_MAX_WIDTH):
+        col, out_val, nnz = _sort_compress_cols(
+            key, val, width=plan.width, start_kk=2 * plan.run,
             interpret=interpret,
             static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH)
-        col = col_t.T
-        out_val = val_t.T
-        nnz_row = nnz_t[0]
+        nnz_row = nnz[:, 0]
     else:
         col, out_val, nnz_row = _sort_compress_rows(
             key, val, width=plan.width, start_kk=2 * plan.run,
