@@ -103,3 +103,29 @@ def test_autotune_spgemm_matches_oracle():
     got = C.to_scipy()
     assert abs(got - want).max() < 1e-10
     assert sel.algorithm in ("baseline", "csr", "dia", "ell", "coo")
+
+
+def test_scaling_report_shape():
+    """Ring scaling harness: points + efficiency bookkeeping (2 devices)."""
+    import jax
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+        _pytest.skip("needs 2 devices")
+    from ia_spgemm_tpu.bench import scaling
+    from tests import fixtures
+    a = fixtures.random_csr(64, 64, density=0.1, seed=90)
+    A = CSR.from_scipy(a.astype("float32"))
+    pts = scaling.measure_ring_scaling(A, device_counts=(1, 2), iters=1)
+    assert len(pts) == 2
+    assert pts[0].efficiency == 1.0
+    assert pts[1].devices == 2 and pts[1].nnz_out == pts[0].nnz_out
+    rep = scaling.report(pts)
+    assert rep["metric"] == "ring_spgemm_scaling"
+    assert len(rep["points"]) == 2
+
+
+def test_profiling_time_op():
+    from ia_spgemm_tpu.bench import profiling
+    import jax.numpy as jnp
+    r = profiling.time_op(lambda x: x + 1, jnp.zeros(16), iters=2)
+    assert r["median_ms"] >= 0 and r["iters"] == 2
