@@ -16,7 +16,6 @@ The viability guard rejects a format when its size exceeds ratio x CSR
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ averaged by jit-inserted collectives (GSPMD), bfloat16-friendly convs.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Iterator, Tuple
 
 import jax

@@ -15,8 +15,6 @@ csr/common_csr.h:276).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from typing import Tuple
 
 import jax

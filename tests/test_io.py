@@ -4,7 +4,6 @@ reference's Inputs/ suite (when mounted)."""
 import numpy as np
 import pytest
 import scipy.io
-import scipy.sparse as sp
 
 from ia_spgemm_tpu.io import mmio
 from tests import fixtures
