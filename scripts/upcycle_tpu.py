@@ -66,9 +66,22 @@ def main():
     from ia_spgemm_tpu.formats.types import CSR
     from ia_spgemm_tpu.models import upcycle, weights
 
+    os.makedirs("weights", exist_ok=True)
+    # resume: skip matrices already harvested (incremental checkpoint)
     samples = []
+    done = set()
+    ckpt = "weights/tpu_samples.npz"
+    if os.path.exists(ckpt):
+        try:
+            samples = upcycle.load_samples(ckpt)
+            done = {s.matrix_name for s in samples}
+            print(f"resuming with {len(samples)} saved samples", flush=True)
+        except Exception:
+            samples, done = [], set()
     t_start = time.time()
     for name, a in corpus(quick):
+        if name in done:
+            continue
         A = CSR.from_scipy(a.tocsr().astype(np.float32))
         t0 = time.time()
         try:
@@ -80,11 +93,9 @@ def main():
             print(f"{name}: no winner", flush=True)
             continue
         samples.append(s)
+        upcycle.save_samples(ckpt, samples)   # checkpoint every matrix
         print(f"{name}: winner={s.winner} ({time.time() - t0:.1f}s)",
               flush=True)
-
-    os.makedirs("weights", exist_ok=True)
-    upcycle.save_samples("weights/tpu_samples.npz", samples)
     counts = {algo: sum(1 for s in samples if s.winner == algo)
               for algo in MENU}
     print("harvest done:", len(samples), "samples", counts, flush=True)

@@ -6,13 +6,18 @@ Note: this image's sitecustomize pre-imports jax and registers the TPU
 backend at interpreter start, so env vars are too late — we must use
 jax.config.update here, before any backend touch."""
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_enable_x64", True)
-
-import os  # noqa: E402
+if os.environ.get("IA_SPGEMM_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_enable_x64", True)
+# IA_SPGEMM_TEST_TPU=1 keeps the real TPU backend (fp32, 1 device):
+# kernels then run compiled instead of interpreted — this catches
+# TPU-only miscompiles (e.g. the fused gather+flip wipe) that the
+# interpreter cannot. Distributed/fp64 tests skip themselves.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
