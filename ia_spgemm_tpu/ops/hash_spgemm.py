@@ -51,7 +51,11 @@ def _kernel(a_col_ref, a_val_ref, b_col_ref, b_val_ref,
 
     def row_body(r, _):
         def a_slot(ka, _):
-            acol = a_col_ref[r, ka]
+            # clamp: rows past m in the LAST grid tile carry garbage —
+            # an unclamped acol indexes B's SMEM table out of bounds
+            # (observed TPU runtime crash when tile_rows doesn't divide m)
+            acol = jnp.clip(a_col_ref[r, ka], -1,
+                            b_col_ref.shape[0] - 1)
             aval = a_val_ref[r, ka]
 
             @pl.when(acol >= 0)
