@@ -37,3 +37,9 @@ def reference_input_paths():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+def fp_tol() -> float:
+    """Relative tolerance matched to the active compute precision: 1e-12
+    under the fp64 CPU oracle config, 1e-5 on the f32-only TPU backend."""
+    return 1e-12 if jax.config.jax_enable_x64 else 1e-5

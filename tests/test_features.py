@@ -5,6 +5,7 @@ reimplementation of the reference's exact algorithms
 import numpy as np
 import pytest
 
+from tests.conftest import fp_tol
 from ia_spgemm_tpu.formats import convert
 from ia_spgemm_tpu.formats.types import CSR
 from ia_spgemm_tpu.io import mmio
@@ -51,7 +52,7 @@ def _ref_density(a, size=128):
 def test_info1_matches_reference(name, mat):
     A = CSR.from_scipy(mat)
     got = np.asarray(features.get_info1(A))
-    np.testing.assert_allclose(got, _ref_info1(mat), rtol=1e-12)
+    np.testing.assert_allclose(got, _ref_info1(mat), rtol=fp_tol())
 
 
 @pytest.mark.parametrize("name,mat", [
@@ -82,11 +83,11 @@ def test_info2_info3():
     m, n = mat.shape
     nd = d.num_diagonals
     np.testing.assert_allclose(
-        i2, [nd, nd / (m + n - 1), nd * m / (m * n)], rtol=1e-12)
+        i2, [nd, nd / (m + n - 1), nd * m / (m * n)], rtol=fp_tol())
     e = convert.csr_to_ell(A, check_guard=False)
     i3 = np.asarray(features.get_info3(e))
     np.testing.assert_allclose(
-        i3, [mat.nnz / (m * e.max_nnz_per_row)], rtol=1e-12)
+        i3, [mat.nnz / (m * e.max_nnz_per_row)], rtol=fp_tol())
 
 
 def test_feature_vector_layout():
@@ -96,13 +97,13 @@ def test_feature_vector_layout():
     A, B = CSR.from_scipy(a), CSR.from_scipy(b)
     fv = np.asarray(features.feature_vector(A, B))
     assert fv.shape == (26,)
-    np.testing.assert_allclose(fv[:9], _ref_info1(a), rtol=1e-12)
-    np.testing.assert_allclose(fv[9:18], _ref_info1(b), rtol=1e-12)
+    np.testing.assert_allclose(fv[:9], _ref_info1(a), rtol=fp_tol())
+    np.testing.assert_allclose(fv[9:18], _ref_info1(b), rtol=fp_tol())
     d = convert.csr_to_dia(A, check_guard=False)
     assert fv[18] == d.num_diagonals
     e = convert.csr_to_ell(A, check_guard=False)
     np.testing.assert_allclose(fv[24], a.nnz / (15 * e.max_nnz_per_row),
-                               rtol=1e-12)
+                               rtol=fp_tol())
 
 
 def test_density_image_file_roundtrip(tmp_path):

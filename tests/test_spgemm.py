@@ -12,6 +12,7 @@ from ia_spgemm_tpu.formats.types import CSR
 from ia_spgemm_tpu.io import mmio
 from ia_spgemm_tpu.ops import esc, dense, ell as ell_ops, dia as dia_ops, flops
 from tests import fixtures
+from tests.conftest import fp_tol
 from tests.conftest import reference_input_paths
 
 
@@ -48,7 +49,8 @@ def _assert_matches(ours_sp, want):
     got.sort_indices()
     assert got.shape == want.shape
     d = abs(got - want)
-    assert (d.max() if d.nnz else 0.0) < 1e-12
+    scale = max(1.0, abs(want).max() if want.nnz else 0.0)
+    assert (d.max() if d.nnz else 0.0) < fp_tol() * scale
 
 
 @pytest.mark.parametrize("name,a,b", _pairs())
@@ -87,7 +89,7 @@ def test_spgemm_dia(name, a, b):
     got = np.asarray(convert.csr_to_dense(
         CSR.from_scipy(C.to_scipy())).values)
     want = _oracle(a, b).toarray()
-    np.testing.assert_allclose(got, want, atol=1e-12)
+    np.testing.assert_allclose(got, want, rtol=fp_tol(), atol=fp_tol())
 
 
 @pytest.mark.parametrize("name,a,b", _pairs())
@@ -95,7 +97,8 @@ def test_spgemm_dense(name, a, b):
     A, B = CSR.from_scipy(a), CSR.from_scipy(b)
     C = dense.spgemm_dense(A, B)
     np.testing.assert_allclose(np.asarray(C.values),
-                               (a @ b).toarray(), atol=1e-12)
+                               (a @ b).toarray(), rtol=fp_tol(),
+                               atol=fp_tol())
 
 
 @pytest.mark.parametrize("path", reference_input_paths())
@@ -125,10 +128,10 @@ def test_reference_inputs_A_squared(path):
     C4 = dia_ops.spgemm_dia(convert.csr_to_dia(A, check_guard=False),
                             convert.csr_to_dia(B, check_guard=False))
     got = C4.to_scipy().toarray()
-    np.testing.assert_allclose(got, want.toarray(), atol=1e-12)
+    np.testing.assert_allclose(got, want.toarray(), rtol=fp_tol(), atol=fp_tol())
 
     # checksum (the reference's verified_sum, main.cpp:753-758)
-    np.testing.assert_allclose(float(C.checksum()), want.sum(), rtol=1e-12)
+    np.testing.assert_allclose(float(C.checksum()), want.sum(), rtol=fp_tol())
 
 
 def test_get_flop_matches_reference_formula():
