@@ -431,29 +431,35 @@ def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "start_kk", "interpret",
-                                    "static_strides"))
+                                    "static_strides", "pre_transposed"))
 def _sort_compress_cols(key, val, *, width: int, start_kk: int,
-                        interpret: bool, static_strides: bool = True):
-    """Transposed-layout entry: key/val are ROW-major (m, width); the
-    transposes to/from the sublane-sort layout happen IN VMEM inside the
-    kernels (XLA-level transposes cost an HBM round trip each). Two Pallas
-    calls (sort, then compress) so each stays under scoped VMEM with the
-    static-stride sublane-rotate form. Returns row-major
+                        interpret: bool, static_strides: bool = True,
+                        pre_transposed: bool = False):
+    """Transposed-layout entry. pre_transposed=False: key/val are
+    ROW-major (m, width) and the input transpose to the sublane-sort
+    layout happens IN VMEM inside the sort kernel (XLA-level transposes
+    cost an HBM round trip each). pre_transposed=True: key/val already
+    arrive as (width, m) — _expand_ell(transpose_out=True) fused the
+    transpose into the expand — and the kernel consumes them directly.
+    Two Pallas calls (sort, then compress) so each stays under scoped
+    VMEM with the static-stride sublane-rotate form. Returns row-major
     (col (m, width), val (m, width), nnz (m, 1))."""
     static_strides = static_strides and not interpret
-    m = key.shape[0]
+    m = key.shape[1] if pre_transposed else key.shape[0]
     grid = (pl.cdiv(m, _TILE_LANES),)
     row_tile = lambda w: pl.BlockSpec(  # noqa: E731
         (_TILE_LANES, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     colt = lambda h: pl.BlockSpec(  # noqa: E731
         (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    in_specs = ([colt(width)] * 2 if pre_transposed
+                else [row_tile(width)] * 2)
     k_s, v_s = pl.pallas_call(
         functools.partial(_sort_only_kernel_t, width=width,
                           start_kk=start_kk,
                           static_strides=static_strides,
-                          transpose_in=True),
+                          transpose_in=not pre_transposed),
         grid=grid,
-        in_specs=[row_tile(width), row_tile(width)],
+        in_specs=in_specs,
         out_specs=(colt(width), colt(width)),
         out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
                    jax.ShapeDtypeStruct((width, m), val.dtype)),
@@ -502,8 +508,10 @@ def _sort_compress_rows(key, val, *, width: int, start_kk: int,
     )(key, val)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "run"))
-def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int):
+@functools.partial(jax.jit, static_argnames=("width", "run",
+                                             "transpose_out"))
+def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int,
+                transpose_out: bool = False):
     """Row-gather B's ELL rows at A's columns; outer-multiply.
 
     Returns (m, width) product keys and values where each A-entry's
@@ -516,6 +524,11 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int):
     (Reversing the gathered (m, ka, run) products with flip+where
     miscompiles on TPU at large m — odd runs came back all-SENTINEL — so
     the per-product arrays are never flipped.)
+
+    transpose_out=True returns (width, m) — the sublane-sort layout the
+    transposed kernel consumes directly. The transpose is emitted INSIDE
+    this jit so XLA fuses it into the gather's consumer fusion (one
+    HBM pass) instead of the kernel paying per-tile VMEM transposes.
     """
     m, ka = a_col.shape
     k, kb = b_col.shape
@@ -548,6 +561,12 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int):
     key = jnp.where(valid, bc, SENTINEL).reshape(m, ka * run)
     val = jnp.where(valid, a_val[:, :, None] * bv, 0).reshape(m, ka * run)
     pad = width - ka * run
+    if transpose_out:
+        key, val = key.T, val.T
+        if pad:
+            key = jnp.pad(key, ((0, pad), (0, 0)), constant_values=SENTINEL)
+            val = jnp.pad(val, ((0, pad), (0, 0)))
+        return key, val
     if pad:
         key = jnp.pad(key, ((0, 0), (0, pad)), constant_values=SENTINEL)
         val = jnp.pad(val, ((0, 0), (0, pad)))
@@ -667,14 +686,17 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
         raise ValueError(f"bitonic plan not viable: {plan.reason}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    use_cols = layout == "cols" or (layout == "auto"
+                                    and plan.width <= TRANSPOSED_MAX_WIDTH)
     key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
-                           width=plan.width, run=plan.run)
-    if layout == "cols" or (layout == "auto"
-                            and plan.width <= TRANSPOSED_MAX_WIDTH):
+                           width=plan.width, run=plan.run,
+                           transpose_out=use_cols)
+    if use_cols:
         col, out_val, nnz = _sort_compress_cols(
             key, val, width=plan.width, start_kk=2 * plan.run,
             interpret=interpret,
-            static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH)
+            static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH,
+            pre_transposed=True)
         nnz_row = nnz[:, 0]
     else:
         col, out_val, nnz_row = _sort_compress_rows(
