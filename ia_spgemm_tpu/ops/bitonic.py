@@ -337,9 +337,15 @@ def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
     form. transpose_out: write row-major (L, width) tiles."""
     L = key_ref.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+    _compress_body_t(key_ref[:], val_ref[:], sub, out_col_ref, out_val_ref,
+                     nnz_ref, width=width, static_strides=static_strides,
+                     transpose_out=transpose_out)
+
+
+def _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
+                     *, width: int, static_strides: bool,
+                     transpose_out: bool):
     log_w = width.bit_length() - 1
-    k = key_ref[:]
-    v = val_ref[:]
 
     head = (sub == 0) | (k != pltpu.roll(k, 1, axis=0))
 
@@ -429,6 +435,21 @@ def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
         out_val_ref[:] = out_v
 
 
+def _fused_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
+                    *, width: int, start_kk: int, static_strides: bool):
+    """Sort + compress in ONE kernel on pre-transposed (width, L) tiles.
+    Viable now that the input transpose is fused into the expand — the
+    transpose scratch that forced the sort/compress split no longer
+    exists. Saves the HBM round trip of the intermediate sorted pair."""
+    L = key_ref.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+    k, v = _bitonic_sort_t(key_ref[:], val_ref[:], sub, width, start_kk,
+                           static_strides)
+    _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
+                     width=width, static_strides=static_strides,
+                     transpose_out=False)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("width", "start_kk", "interpret",
                                     "static_strides", "pre_transposed"))
@@ -453,6 +474,20 @@ def _sort_compress_cols(key, val, *, width: int, start_kk: int,
         (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
     in_specs = ([colt(width)] * 2 if pre_transposed
                 else [row_tile(width)] * 2)
+    if pre_transposed and width <= FUSED_MAX_WIDTH:
+        col_t, val_t, nnz = pl.pallas_call(
+            functools.partial(_fused_kernel_t, width=width,
+                              start_kk=start_kk,
+                              static_strides=static_strides),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(colt(width), colt(width), row_tile(1)),
+            out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
+                       jax.ShapeDtypeStruct((width, m), val.dtype),
+                       jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+            interpret=interpret,
+        )(key, val)
+        return col_t.T, val_t.T, nnz
     k_s, v_s = pl.pallas_call(
         functools.partial(_sort_only_kernel_t, width=width,
                           start_kk=start_kk,
@@ -665,6 +700,10 @@ def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
 # the (width, 128) transposed tiles hold ~10 live arrays; widths past this
 # risk the ~16MB scoped VMEM limit (1024 validated on chip)
 TRANSPOSED_MAX_WIDTH = 1024
+# sort+compress in one kernel (saves the intermediate HBM round trip and
+# a launch); the larger live set fits the 16MB scoped VMEM only up to this
+# width (width 1024 measured needing 35MB at 128-lane tiles)
+FUSED_MAX_WIDTH = 256
 
 
 def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
