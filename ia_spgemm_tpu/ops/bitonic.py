@@ -65,34 +65,61 @@ PRODUCT_BUDGET_BYTES = 4 << 30
 @dataclasses.dataclass(frozen=True)
 class BitonicPlan:
     width: int        # Wp — padded products per row (pow2, >=128)
-    run: int          # pow2-padded B-run length (sorted-run size)
+    run: int          # pow2 sorted-run length (B-row CHUNK size)
     tile_rows: int    # R — rows per Pallas tile
     viable: bool
     reason: str = ""
+    # sub-run splitting: B rows are cut into `chunks` pieces of `run`
+    # slots each (chunks * run >= kb). chunks=1 is the unsplit layout.
+    # Splitting trades more gather indices (ka*chunks vs ka) for a
+    # smaller pow2 width when kb sits just past a power of two — e.g.
+    # kb=40 pads to run 64 unsplit (width 4096 at ka=33) but to 3 chunks
+    # of 16 split (1584 -> width 2048): half the sort work.
+    chunks: int = 1
 
 
 def _next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
 
 
-def plan_bitonic_dims(m: int, ka: int, kb: int) -> BitonicPlan:
-    """Plan from dimensions only (probe before converting to ELL)."""
-    run = max(1, _next_pow2(kb))
-    width = max(128, _next_pow2(ka * run))
+def plan_bitonic_dims(m: int, ka: int, kb: int,
+                      allow_split: bool = True) -> BitonicPlan:
+    """Plan from dimensions only (probe before converting to ELL).
+
+    Searches pow2 sub-run lengths run0 <= next_pow2(kb); a smaller run0
+    is chosen only when it strictly lowers the padded width (sort work
+    scales with width; the extra sort rounds and gather indices are
+    second-order). Among widths, the largest run0 wins (fewest gathers).
+    """
+    full_run = max(1, _next_pow2(kb))
+    best = None  # (width, -run0, run0, chunks)
+    run0 = full_run
+    while True:
+        chunks = -(-max(kb, 1) // run0) if kb else 1
+        width = max(128, _next_pow2(ka * chunks * run0))
+        cand = (width, -run0, run0, chunks)
+        if best is None or cand < best:
+            best = cand
+        if run0 <= 8 or not allow_split:
+            break
+        run0 //= 2
+    width, _, run, chunks = best
     run = min(run, width)
     if width > MAX_WIDTH:
         return BitonicPlan(width, run, 8, False,
-                           f"Ka*run={ka * run} exceeds {MAX_WIDTH} lanes")
+                           f"ka*chunks*run={ka * chunks * run} exceeds "
+                           f"{MAX_WIDTH} lanes", chunks)
     if m * width * 8 > PRODUCT_BUDGET_BYTES:
         return BitonicPlan(width, run, 8, False,
                            f"m*Wp*8={m * width * 8} exceeds "
-                           f"product budget {PRODUCT_BUDGET_BYTES}")
+                           f"product budget {PRODUCT_BUDGET_BYTES}", chunks)
     tile_rows = max(8, min(512, _TILE_ELEMS // width))
-    return BitonicPlan(width, run, tile_rows, True)
+    return BitonicPlan(width, run, tile_rows, True, "", chunks)
 
 
-def plan_bitonic(A: ELL, B: ELL) -> BitonicPlan:
-    return plan_bitonic_dims(A.nrows, A.max_nnz_per_row, B.max_nnz_per_row)
+def plan_bitonic(A: ELL, B: ELL, allow_split: bool = True) -> BitonicPlan:
+    return plan_bitonic_dims(A.nrows, A.max_nnz_per_row, B.max_nnz_per_row,
+                             allow_split=allow_split)
 
 
 def _compare_exchange(k, v, lane, s, asc):
@@ -544,9 +571,9 @@ def _sort_compress_rows(key, val, *, width: int, start_kk: int,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "run",
-                                             "transpose_out"))
+                                             "transpose_out", "chunks"))
 def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int,
-                transpose_out: bool = False):
+                transpose_out: bool = False, chunks: int = 1):
     """Row-gather B's ELL rows at A's columns; outer-multiply.
 
     Returns (m, width) product keys and values where each A-entry's
@@ -567,9 +594,22 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int,
     """
     m, ka = a_col.shape
     k, kb = b_col.shape
-    # pad B rows to the pow2 run length, build forward + reversed tables
-    bc_p = jnp.pad(b_col, ((0, 0), (0, run - kb)), constant_values=-1)
-    bv_p = jnp.pad(b_val, ((0, 0), (0, run - kb)))
+    # pad B rows to chunks*run and cut into `chunks` sub-rows of `run`
+    # slots (sub-run splitting: each A entry gathers `chunks` table rows)
+    bc_p = jnp.pad(b_col, ((0, 0), (0, chunks * run - kb)),
+                   constant_values=-1)
+    bv_p = jnp.pad(b_val, ((0, 0), (0, chunks * run - kb)))
+    if chunks > 1:
+        bc_p = bc_p.reshape(k * chunks, run)
+        bv_p = bv_p.reshape(k * chunks, run)
+        k = k * chunks
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, ka, chunks), 2)
+        a_col = (jnp.where(a_col[:, :, None] >= 0,
+                           a_col[:, :, None] * chunks + sub, -1)
+                 .reshape(m, ka * chunks))
+        a_val = jnp.broadcast_to(a_val[:, :, None],
+                                 (m, ka, chunks)).reshape(m, ka * chunks)
+        ka = ka * chunks
     parity = (jax.lax.broadcasted_iota(jnp.int32, (1, ka), 1) & 1)
     rows = jnp.clip(a_col, 0, k - 1) + k * parity        # (m, ka)
     if a_val.dtype == jnp.float32:
@@ -669,7 +709,8 @@ def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
         idx_d = jnp.asarray(idx_pad.astype(np.int32))
         a_col = jnp.take(A.col_ind[:, :ka_c], idx_d, axis=0)
         a_val = jnp.take(A.values[:, :ka_c], idx_d, axis=0)
-        plan = plan_bitonic_dims(n_pad, ka_c, B.max_nnz_per_row)
+        plan = plan_bitonic_dims(n_pad, ka_c, B.max_nnz_per_row,
+                                 allow_split=False)
         if not plan.viable or plan.width > w:
             # (plan.width <= w by construction; guard stays for safety)
             return None
@@ -729,7 +770,7 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
                                     and plan.width <= TRANSPOSED_MAX_WIDTH)
     key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
                            width=plan.width, run=plan.run,
-                           transpose_out=use_cols)
+                           transpose_out=use_cols, chunks=plan.chunks)
     if use_cols:
         col, out_val, nnz = _sort_compress_cols(
             key, val, width=plan.width, start_kk=2 * plan.run,

@@ -134,8 +134,10 @@ def partition_rows_ell(A: ELL, num_shards: int,
 
 def plan_ring(A: ELL, B: ELL, num_shards: int) -> bitonic.BitonicPlan:
     m_loc = -(-A.nrows // num_shards)
+    # allow_split=False: the ring's inline expansion pads each B block to
+    # one `run`-slot row per entry (no sub-run chunking support)
     return bitonic.plan_bitonic_dims(m_loc, A.max_nnz_per_row,
-                                     B.max_nnz_per_row)
+                                     B.max_nnz_per_row, allow_split=False)
 
 
 def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,

@@ -34,13 +34,20 @@ MENU = ("csr", "dia", "ell", "coo", "bitonic")
 
 
 def corpus(quick: bool):
+    """Yields (name, A, B_or_None); B=None means the A@A default
+    (README.md:10). v4 adds two-matrix pairs (the CPU driver's real
+    signature, main.cpp:97-101), B=A^T (the GPU driver's workload,
+    main.cu:260-269), more seeds, and structure classes aimed at the
+    winner classes the v3 harvest left empty (dia/csr)."""
+    import scipy.sparse as sp
+
     from ia_spgemm_tpu.io import mmio, suitesparse
 
     sizes = (1024,) if quick else (4096, 16384, 32768)
     seeds = (0, 1) if quick else (0, 1, 2, 3, 4, 5)
     for m in sizes:
         for name, a in suitesparse.synthetic_suite(m=m, seeds=seeds):
-            yield name, a
+            yield name, a, None
     if not quick:
         # the headline structure class: band + random off-band entries
         from bench import build_matrix
@@ -48,7 +55,49 @@ def corpus(quick: bool):
             for seed in seeds:
                 yield (f"bandrand_{m}_{seed}",
                        build_matrix(m=m, band=2 + seed, extra_per_row=8,
-                                    seed=seed))
+                                    seed=seed), None)
+        # --- v4 ---
+        for m in sizes:
+            for name, a in suitesparse.synthetic_suite(m=m,
+                                                       seeds=(6, 7, 8)):
+                yield name, a, None
+        # mixed-structure (A, B) pairs
+        g = suitesparse
+        for m in (4096, 16384):
+            for seed in (0, 1, 2):
+                yield (f"pair_band_uni_{m}_{seed}",
+                       g.gen_banded(m, 2 + seed, seed),
+                       g.gen_uniform(m, nnz_per_row=6 + seed, seed=seed))
+                yield (f"pair_uni_pow_{m}_{seed}",
+                       g.gen_uniform(m, nnz_per_row=6 + seed, seed=seed),
+                       g.gen_powerlaw(m, seed=seed))
+                yield (f"pair_pow_band_{m}_{seed}",
+                       g.gen_powerlaw(m, seed=seed),
+                       g.gen_banded(m, 2 + seed, seed))
+        # B = A^T (GPU driver workload)
+        for m in (16384, 32768):
+            for seed in (0, 1, 2):
+                a = build_matrix(m=m, band=2 + seed, extra_per_row=8,
+                                 seed=seed)
+                yield f"transpose_{m}_{seed}", a, a.T.tocsr()
+        # wide pure bands / scattered diagonals (DIA-algebra territory)
+        for m in (4096, 16384):
+            for seed in (0, 1):
+                yield (f"wideband_{m}_{seed}",
+                       g.gen_banded(m, bandwidth=12 + 4 * seed, seed=seed),
+                       None)
+                rng = __import__("numpy").random.default_rng(seed)
+                offs = sorted({0, 1, -1, 63, -63, 128 + seed, -(128 + seed),
+                               511, -511})
+                diags = [rng.standard_normal(m) for _ in offs]
+                yield (f"scatdiag_{m}_{seed}",
+                       sp.diags(diags, offs, shape=(m, m)).tocsr(), None)
+        # heavy-skew rows (bitonic non-viable; ESC/csr territory)
+        for m in (8192, 16384):
+            for seed in (0, 1):
+                yield (f"heavyskew_{m}_{seed}",
+                       g.gen_powerlaw(m, mean_nnz=64, alpha=1.1, seed=seed),
+                       None)
     # the 9 reference fixture matrices (tiny; exercise symmetric/pattern)
     for name, path in sorted(suitesparse.local_collection().items()):
         try:
@@ -56,7 +105,7 @@ def corpus(quick: bool):
         except Exception:
             continue
         if A.nrows == A.ncols:
-            yield f"ref_{name}", A.to_scipy()
+            yield f"ref_{name}", A.to_scipy(), None
 
 
 def main():
@@ -79,13 +128,14 @@ def main():
         except Exception:
             samples, done = [], set()
     t_start = time.time()
-    for name, a in corpus(quick):
+    for name, a, b in corpus(quick):
         if name in done:
             continue
         A = CSR.from_scipy(a.tocsr().astype(np.float32))
+        B = A if b is None else CSR.from_scipy(b.tocsr().astype(np.float32))
         t0 = time.time()
         try:
-            s = upcycle.harvest_sample(A, A, menu=MENU, name=name, iters=2)
+            s = upcycle.harvest_sample(A, B, menu=MENU, name=name, iters=2)
         except Exception as e:  # noqa: BLE001 — skip broken cases, keep going
             print(f"{name}: harvest failed: {e}", flush=True)
             continue

@@ -46,6 +46,27 @@ def test_bitonic_matches_oracle(m, k, n, da, db, seed):
     _check(a, b, C)
 
 
+def test_bitonic_subrun_split():
+    """kb just past a power of two triggers sub-run splitting (chunks>1)
+    when it lowers the padded width; results must match the oracle."""
+    rng = np.random.default_rng(7)
+    m = 64
+    # rows of exactly 40 nnz: full_run pads to 64; chunks of 16 cover 48
+    cols = np.stack([rng.choice(m, 40, replace=False) for _ in range(m)])
+    rows = np.repeat(np.arange(m), 40)
+    a = sp.coo_matrix((rng.standard_normal(m * 40),
+                       (rows, cols.ravel())), shape=(m, m)).tocsr()
+    plan = bitonic.plan_bitonic(_ell(a), _ell(a))
+    assert plan.chunks > 1, plan
+    unsplit = bitonic.plan_bitonic(_ell(a), _ell(a), allow_split=False)
+    assert plan.width < unsplit.width, (plan, unsplit)
+    C = bitonic.spgemm_bitonic(_ell(a), _ell(a), plan)
+    _check(a, a, C)
+    # forced row-major layout takes the same chunked expansion
+    C2 = bitonic.spgemm_bitonic(_ell(a), _ell(a), plan, layout="rows")
+    _check(a, a, C2)
+
+
 def test_bitonic_canonical_output():
     """Left-justified, strictly ascending columns, -1 tail sentinels."""
     a = fixtures.random_csr(48, 48, density=0.12, seed=9)
