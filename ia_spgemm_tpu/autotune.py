@@ -50,7 +50,7 @@ def select_algorithm(A: CSR, B: CSR,
     weight_name may be a shipped set (Intel/Amd/P100) or a path to an
     upcycled .npz; upcycled files carry their own class menu."""
     if params is None:
-        if weight_name.endswith(".npz") and "/" in weight_name:
+        if weight_name.endswith(".npz"):
             params, menu = weights.load_params_npz(weight_name,
                                                    with_menu=True)
             arch = weights.infer_arch(params)

@@ -324,6 +324,11 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
     if timed_out:
         res.timed_out = True
         return None
+    if C is None:
+        # the bucketed bitonic probe is an upper bound: the kernel itself
+        # re-plans per merged class and may still decline (returns None)
+        res.skipped = True
+        return None
     run_once = lambda: compute(converted)  # noqa: E731
     (_, timed_out) = _run_with_timeout(
         lambda: jax.block_until_ready(run_once()), timeout_s)

@@ -54,3 +54,39 @@ def time_op(fn: Callable, *args, iters: int = 5, warmup: int = 1,
     return {"median_ms": float(np.median(arr)),
             "min_ms": float(arr.min()), "max_ms": float(arr.max()),
             "iters": iters}
+
+
+def device_time_ms(fn: Callable, *args, chain: int = 8, reps: int = 3,
+                   **kwargs) -> Dict:
+    """Estimate pure DEVICE time of fn by amortizing dispatch/sync RTT.
+
+    This dev setup reaches the chip through a tunnel whose per-sync round
+    trip (~28 ms) dwarfs sub-10ms kernels, so wall-clock around a single
+    dispatch mismeasures by an order of magnitude. Dispatching `chain`
+    independent calls back-to-back and syncing ONCE serializes them on the
+    device queue while paying the RTT once:
+
+        device_ms ~= (t_chain - t_single) / (chain - 1)
+
+    Both t_chain and t_single are medians over `reps`. Slight underestimate
+    when per-dispatch host work overlaps; cross-checked against profiler
+    traces within ~10% on the bitonic kernel.
+    """
+    def run(n):
+        outs = [fn(*args, **kwargs) for _ in range(n)]
+        jax.block_until_ready(outs)
+
+    run(1)  # compile
+    t1, tn = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(1)
+        t1.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        run(chain)
+        tn.append((time.perf_counter() - t0) * 1e3)
+    t1_m = float(np.median(t1))
+    tn_m = float(np.median(tn))
+    dev = max((tn_m - t1_m) / (chain - 1), 0.0)
+    return {"device_ms": dev, "single_ms": t1_m, "chain_ms": tn_m,
+            "chain": chain}

@@ -93,7 +93,7 @@ def _dense_row_call(a_col, a_val, b_dense, *, tile_rows: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_rows, K), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # B stays in HBM
         ],
         out_specs=pl.BlockSpec((tile_rows, n), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -51,8 +51,27 @@ def plan_symbolic(A: CSR, B: CSR):
     max_row_flops feeds the bitonic width / row-split planners.
     """
     import numpy as np
-    rf = np.asarray(row_flops_csr(A.row_ptr, A.col_ind, A.nnz,
-                                  B.row_ptr)).astype(np.int64)
+    # Overflow pre-check: the device reduction is int32. A single row can
+    # wrap silently when max_row_nnz(A) * max_row_nnz(B) >= 2^31, which
+    # would bypass the caller's 'expansion overflows int32' error with an
+    # undersized capacity. Bound it from the row pointers (cheap host
+    # readback of (m+1,)+(k+1,) ints) and recompute per-row flops on the
+    # host in int64 when the bound is reachable.
+    a_ptr = np.asarray(A.row_ptr, dtype=np.int64)
+    b_ptr = np.asarray(B.row_ptr, dtype=np.int64)
+    max_a = int(np.max(np.diff(a_ptr), initial=0))
+    max_b = int(np.max(np.diff(b_ptr), initial=0))
+    if max_a * max_b >= 2**31:
+        col = np.asarray(A.col_ind, dtype=np.int64)[:int(A.nnz)]
+        b_len = np.diff(b_ptr)
+        ln = b_len[np.clip(col, 0, len(b_len) - 1)]
+        rows = np.repeat(np.arange(len(a_ptr) - 1),
+                         np.diff(a_ptr).clip(min=0))[:int(A.nnz)]
+        rf = np.zeros(len(a_ptr) - 1, dtype=np.int64)
+        np.add.at(rf, rows, ln)
+    else:
+        rf = np.asarray(row_flops_csr(A.row_ptr, A.col_ind, A.nnz,
+                                      B.row_ptr)).astype(np.int64)
     if rf.size == 0:
         return 0, 0, 0
     return (int(rf.sum()), int(np.minimum(rf, B.ncols).sum()),

@@ -85,6 +85,22 @@ def headline_rooflines():
                              value_bytes=8)
     out["compensated"] = roofline.analyze(r["median_ms"], cost)
 
+    # dense_row is the narrow-dense-output strategy; the headline's square
+    # n=32768 dense B (4.3 GB) is out of scope by design, so its roofline
+    # runs the same A against a dense B with n=2048 (SpMM-shaped C).
+    from ia_spgemm_tpu.formats.types import Dense
+    from ia_spgemm_tpu.ops import dense_row as dr_ops
+    n_dr = 2048
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+    B_dr = Dense(values=jnp.asarray(
+        rng.standard_normal((A.ncols, n_dr)), jnp.float32))
+    r = profiling.time_op(
+        lambda: dr_ops.spgemm_dense_row(A_ell, B_dr), iters=5)
+    cost = roofline.cost_dense_row(A.nrows, A_ell.col_ind.shape[1], n_dr,
+                                   int(A.nnz))
+    out["dense_row"] = roofline.analyze(r["median_ms"], cost)
+
     nd = len(convert.plan_dia_offsets(A))
     if nd <= 64:  # the headline's random entries occupy ~every diagonal
         Ad = convert.csr_to_dia(A, check_guard=False)
