@@ -40,6 +40,12 @@ class CSR:
     values: jax.Array   # (capacity,) float
     nnz: jax.Array      # 0-d int32 — true entry count
     shape: Shape2 = struct.field(pytree_node=False)
+    # Compensated (double-double) results: the low-order halves of the
+    # values, as a DEVICE array. values + values_lo is exact in float64;
+    # TPUs have no native f64, so the pair stays resident on device and
+    # consumers combine on the host (values_f64) or reduce under two-sum
+    # on device (checksum). None for plain results.
+    values_lo: jax.Array | None = None
 
     @property
     def nrows(self) -> int:
@@ -87,19 +93,35 @@ class CSR:
                    values=jnp.asarray(val),
                    nnz=_as_nnz(nnz), shape=tuple(m.shape))
 
+    def values_f64(self) -> np.ndarray:
+        """Stored values as HOST float64. For compensated results this is
+        the exact hi + lo combination (numpy f64 — jnp would round back to
+        f32 with x64 disabled, the TPU default)."""
+        if self.values_lo is None:
+            return np.asarray(self.values, np.float64)
+        return (np.asarray(self.values, np.float64)
+                + np.asarray(self.values_lo, np.float64))
+
     def to_scipy(self):
         import scipy.sparse as sp
         nnz = int(self.nnz)
         return sp.csr_matrix(
-            (np.asarray(self.values)[:nnz],
+            (self.values_f64()[:nnz],
              np.asarray(self.col_ind)[:nnz],
              np.asarray(self.row_ptr)),
             shape=self.shape)
 
-    def checksum(self) -> jax.Array:
+    def checksum(self):
         """Sum of stored values — the reference's `verified_sum`
-        (main.cpp:753-758)."""
-        return jnp.sum(self.values)
+        (main.cpp:753-758). Compensated results reduce ON DEVICE under
+        double-double two-sum (log2(n) folding passes) and combine the
+        final (hi, lo) scalar pair on the host — no O(nnz) transfer."""
+        if self.values_lo is None:
+            return jnp.sum(self.values)
+        from ia_spgemm_tpu.ops.esc import dd_sum
+        hi, lo = dd_sum(self.values, self.values_lo)
+        return np.float64(np.asarray(hi, np.float64)
+                          + np.asarray(lo, np.float64))
 
 
 @struct.dataclass

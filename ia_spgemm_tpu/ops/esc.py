@@ -48,39 +48,98 @@ from ia_spgemm_tpu.formats.types import COO, CSR
 _INT32_MAX = np.int32(np.iinfo(np.int32).max)
 
 
+# Single-slab workspace ceiling: expansions above this many intermediate
+# products are row-sliced (the reference caps its ESC workspace at
+# min(expansion, 16M, freemem/3) and slices rows to fit,
+# coo_dev/common_coo_dev.h:326-337,388-421). 2^28 products keep the sort
+# pipeline's live arrays within a v5e's 16 GB HBM with headroom; int32
+# position arithmetic additionally requires slab E < 2^31.
+DEFAULT_WORKSPACE_ELEMS = 1 << 28
+
+
 @dataclasses.dataclass(frozen=True)
 class SpGEMMPlan:
     """Static capacities for one (A, B) SpGEMM problem."""
-    expansion_capacity: int   # >= E (number of intermediate products)
-    out_capacity: int         # >= nnz(C)
-    flops: int                # exact E — the reference's GetFlop(A, B)
+    expansion_capacity: int   # >= E of a slab (number of products)
+    out_capacity: int         # >= nnz(C) of a slab
+    flops: int                # exact total E — the reference's GetFlop(A, B)
     # "gather": per-product packed gather into an exact-size expansion
     # (~9 ns/product on v5e). "rowexpand": ONE row-gather of B's padded
     # ELL row per A entry (~10 ns/entry) into a (nnzA, run) expansion —
     # chosen when the pow2-run padding inflates the sort by <= 2x.
     variant: str = "gather"
     b_run: int = 0            # pow2 B-row width for the rowexpand variant
+    # Workspace slicing (reference: sliced ESC, coo_dev:388-450): row
+    # boundaries [0, r1, ..., m] such that each slab's expansion fits the
+    # workspace; None = single slab. All slabs share one compiled shape:
+    # rows_capacity rows, nnza_capacity entries, expansion/out capacity.
+    slabs: tuple | None = None
+    rows_capacity: int = 0    # max rows per slab (padded)
+    nnza_capacity: int = 0    # max A entries per slab (padded)
+    total_out_capacity: int = 0  # >= nnz(C) overall (sliced only)
 
 
-def plan_spgemm(A: CSR, B: CSR, *,
-                bucket: bool = True) -> SpGEMMPlan:
+def plan_spgemm(A: CSR, B: CSR, *, bucket: bool = True,
+                workspace_elems: int | None = None) -> SpGEMMPlan:
     """Symbolic pass: exact expansion size (the reference's phase-1 nnz
     upper bound, csr/common_csr.h:100-125). The per-row reduction runs on
     device (ops/symbolic.py); only (m,) row counts come back to the host
-    planner — not the O(nnz) index arrays."""
+    planner — not the O(nnz) index arrays.
+
+    Expansions beyond `workspace_elems` (default DEFAULT_WORKSPACE_ELEMS,
+    always capped below int32) get a sliced plan: greedy row slabs whose
+    per-slab expansion fits, mirroring the reference's upper_bound search
+    over cumulative_row_workspace (coo_dev/common_coo_dev.h:388-421)."""
     from ia_spgemm_tpu.ops import symbolic
-    E, out_bound, _ = symbolic.plan_symbolic(A, B)
-    if E >= np.iinfo(np.int32).max:
-        raise ValueError(
-            f"expansion {E} overflows int32; row-partition the problem "
-            "(ia_spgemm_tpu.parallel) instead")
+    ws = workspace_elems or DEFAULT_WORKSPACE_ELEMS
+    ws = min(ws, np.iinfo(np.int32).max - 1)
+    E, out_bound, max_rf, rf = symbolic.plan_symbolic(A, B,
+                                                      return_rows=True)
+    b_maxlen = int(jnp.max(B.row_ptr[1:] - B.row_ptr[:-1])) \
+        if B.row_ptr.shape[0] > 1 else 0
+    run = 1 << max(b_maxlen - 1, 0).bit_length()
+    if E > ws:
+        if max_rf > ws:
+            raise ValueError(
+                f"a single row expands to {max_rf} products, beyond the "
+                f"{ws}-element workspace; row-partition the problem "
+                "(ia_spgemm_tpu.parallel) or raise workspace_elems")
+        # greedy slabs over the row-flops prefix sum
+        bounds = [0]
+        acc = 0
+        for r, f in enumerate(rf):
+            if acc + f > ws:
+                bounds.append(r)
+                acc = 0
+            acc += int(f)
+        bounds.append(len(rf))
+        slabs = tuple(bounds)
+        spans = [(slabs[i], slabs[i + 1]) for i in range(len(slabs) - 1)]
+        row_ptr = np.asarray(A.row_ptr, dtype=np.int64)
+        slab_E = max(int(rf[r0:r1].sum()) for r0, r1 in spans)
+        slab_out = max(int(np.minimum(rf[r0:r1], B.ncols).sum())
+                       for r0, r1 in spans)
+        slab_nnz = max(int(row_ptr[r1] - row_ptr[r0]) for r0, r1 in spans)
+        slab_rows = max(r1 - r0 for r0, r1 in spans)
+        total_out = int(np.minimum(rf, B.ncols).sum())
+        if total_out >= np.iinfo(np.int32).max:
+            raise ValueError(
+                f"output bound {total_out} overflows int32 positions; "
+                "row-partition the problem (ia_spgemm_tpu.parallel)")
+        return SpGEMMPlan(
+            expansion_capacity=cfg.bucket_capacity(slab_E, enabled=bucket),
+            out_capacity=cfg.bucket_capacity(slab_out or 1, enabled=bucket),
+            flops=E, variant="gather", b_run=0, slabs=slabs,
+            rows_capacity=cfg.bucket_capacity(slab_rows, enabled=bucket),
+            nnza_capacity=cfg.bucket_capacity(slab_nnz or 1,
+                                              enabled=bucket),
+            total_out_capacity=cfg.bucket_capacity(total_out or 1,
+                                                   enabled=bucket))
     e_cap = cfg.bucket_capacity(E, enabled=bucket)
     out_cap = cfg.bucket_capacity(out_bound or 1, enabled=bucket)
     # rowexpand when the (nnzA_cap, pow2-run) layout inflates the sort
     # by <= 2x — it replaces per-product gathers with per-entry row
     # gathers (~19x fewer gather indices at avg B-row length 19)
-    b_maxlen = int(jnp.max(B.row_ptr[1:] - B.row_ptr[:-1]))
-    run = 1 << max(b_maxlen - 1, 0).bit_length()
     variant, b_run = "gather", 0
     # (f32 only: the padded grid reorders duplicate summation, which the
     # fp64 golden tests pin to segment_sum order)
@@ -355,13 +414,85 @@ def _esc_core_rowexpand(a_row, a_col, a_val, a_nnz, b_col_ell, b_val_ell,
                           valid.reshape(-1), out_cap=out_cap, m=m, n=n)
 
 
+@functools.partial(jax.jit, static_argnames=("rows_cap", "nnza_cap"))
+def _slab_inputs(row_ptr, col_ind, values, *, r0, s0, s1,
+                 rows_cap: int, nnza_cap: int):
+    """Slice one row slab of a CSR into fixed-capacity (rebased) arrays so
+    every slab reuses ONE compiled ESC core. Tail rows/entries are padded
+    empty."""
+    m1 = row_ptr.shape[0] - 1
+    rp = jax.lax.dynamic_slice(
+        jnp.pad(row_ptr, (0, rows_cap)), (r0,), (rows_cap + 1,))
+    rp = jnp.clip(rp - s0, 0, s1 - s0)
+    col = jax.lax.dynamic_slice(
+        jnp.pad(col_ind, (0, nnza_cap), constant_values=m1), (s0,),
+        (nnza_cap,))
+    val = jax.lax.dynamic_slice(jnp.pad(values, (0, nnza_cap)), (s0,),
+                                (nnza_cap,))
+    return rp, col, val
+
+
+@jax.jit
+def _slab_write(col_out, val_out, rp_out, piece_col, piece_val, piece_rp,
+                off, r0):
+    """Assemble one slab's compressed piece into the (padded) global
+    output at host-known offsets — device-side dynamic_update_slice, one
+    compiled shape for every slab. Tail-row garbage in piece_rp is
+    overwritten by the next slab's correct values; the buffers carry one
+    slab of padding so no update ever clamps."""
+    col_out = jax.lax.dynamic_update_slice(col_out, piece_col, (off,))
+    val_out = jax.lax.dynamic_update_slice(val_out, piece_val, (off,))
+    rp_out = jax.lax.dynamic_update_slice(
+        rp_out, (piece_rp + off).astype(jnp.int32), (r0,))
+    return col_out, val_out, rp_out
+
+
+def _spgemm_csr_sliced(A: CSR, B: CSR, plan: SpGEMMPlan) -> CSR:
+    """Workspace-sliced ESC: run the core per row slab and concatenate —
+    the reference's sliced coo_spmm_helper loop
+    (coo_dev/common_coo_dev.h:388-450). Slabs share one compiled shape;
+    assembly stays on device (dynamic_update_slice at host-known
+    offsets); only each slab's scalar nnz is read back."""
+    m, n = A.nrows, B.ncols
+    row_ptr_h = np.asarray(A.row_ptr, dtype=np.int64)
+    total_cap = plan.total_out_capacity
+    # one slab of padding so padded piece writes never clamp
+    col_out = jnp.full((total_cap + plan.out_capacity,), n, jnp.int32)
+    val_out = jnp.zeros((total_cap + plan.out_capacity,), A.values.dtype)
+    rp_out = jnp.zeros((m + 1 + plan.rows_capacity,), jnp.int32)
+    off = 0
+    slabs = plan.slabs
+    for i in range(len(slabs) - 1):
+        r0, r1 = slabs[i], slabs[i + 1]
+        s0, s1 = int(row_ptr_h[r0]), int(row_ptr_h[r1])
+        rp, col, val = _slab_inputs(
+            A.row_ptr, A.col_ind, A.values, r0=r0, s0=s0, s1=s1,
+            rows_cap=plan.rows_capacity, nnza_cap=plan.nnza_capacity)
+        a_row = entry_rows(rp, plan.nnza_capacity)
+        prow, pcol, pval, pnnz = _esc_core(
+            a_row, col, val, jnp.int32(s1 - s0),
+            B.row_ptr, B.col_ind, B.values,
+            e_cap=plan.expansion_capacity, out_cap=plan.out_capacity,
+            m=plan.rows_capacity, k=A.ncols, n=n)
+        col_out, val_out, rp_out = _slab_write(
+            col_out, val_out, rp_out, pcol, pval, prow, off, r0)
+        off += int(pnnz)
+    rp_out = rp_out.at[m].set(off)
+    return CSR(row_ptr=rp_out[:m + 1], col_ind=col_out[:total_cap],
+               values=val_out[:total_cap], nnz=jnp.int32(off),
+               shape=(m, n))
+
+
 def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None) -> CSR:
     """C = A @ B with both operands CSR. The TPU analogue of the reference's
-    CSR_MUL_CSR (csr/common_csr.h:85-193)."""
+    CSR_MUL_CSR (csr/common_csr.h:85-193). Expansions beyond the workspace
+    run the sliced path (see plan_spgemm/_spgemm_csr_sliced)."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     if plan is None:
         plan = plan_spgemm(A, B)
+    if plan.slabs is not None:
+        return _spgemm_csr_sliced(A, B, plan)
     a_row = entry_rows(A.row_ptr, A.capacity)
     if plan.variant == "rowexpand":
         from ia_spgemm_tpu.formats.convert import csr_to_ell
@@ -416,6 +547,24 @@ def _two_product(a, b):
     p = _ob(a * b)
     e = ((_ob(ah * bh) - p) + _ob(ah * bl) + _ob(al * bh)) + al * bl
     return p, e
+
+
+@jax.jit
+def dd_sum(hi, lo):
+    """Exact-grade total of a double-double array ON DEVICE: pairwise
+    folding under two-sum (log2(n) halving passes), returning a (hi, lo)
+    scalar pair. Error matches a balanced-tree dd reduction (~2^-48
+    relative) — the host only reads back 8 bytes."""
+    n = hi.shape[0]
+    p = 1 << max(n - 1, 0).bit_length()
+    if p != n:
+        hi = jnp.pad(hi, (0, p - n))
+        lo = jnp.pad(lo, (0, p - n))
+    while p > 1:
+        half = p // 2
+        hi, lo = _two_sum(hi[:half], lo[:half], hi[half:], lo[half:])
+        p = half
+    return hi[0], lo[0]
 
 
 def _segmented_scan_two_sum(hi, lo, head):
@@ -511,8 +660,11 @@ def _esc_core_dd(a_row, a_col, a_val, a_nnz, b_row_ptr, b_col, b_val,
 def spgemm_csr_compensated(A: CSR, B: CSR,
                            plan: SpGEMMPlan | None = None) -> CSR:
     """C = A @ B with double-double accumulation: f32 operands, fp64-grade
-    sums (~2^-48 relative). The (hi, lo) value pairs combine to float64 on
-    the host — TPUs have no native f64, but the SUM hi+lo is exact in f64.
+    sums (~2^-48 relative). The result stays ON DEVICE as a (values,
+    values_lo) f32 pair in the CSR — hi + lo is exact in float64; combine
+    with CSR.values_f64() on the host or reduce with dd_sum on device.
+    (Round 1 combined on the host eagerly — an 84 MB D2H pull that made
+    this path 68x slower than plain ESC.)
 
     Requires the fused int32 key (m*n < 2^31) — covered by all reference
     workloads; fall back to the fp64 CPU path otherwise.
@@ -533,10 +685,7 @@ def spgemm_csr_compensated(A: CSR, B: CSR,
         B.row_ptr, B.col_ind, B.values,
         e_cap=e_cap, out_cap=plan.out_capacity,
         m=A.nrows, k=A.ncols, n=B.ncols)
-    # combine on the HOST and keep numpy float64: jnp.asarray would
-    # silently round back to f32 when jax_enable_x64 is off (TPU default)
-    values = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
-    return CSR(row_ptr=row_ptr, col_ind=col, values=values,
+    return CSR(row_ptr=row_ptr, col_ind=col, values=hi, values_lo=lo,
                nnz=nnz, shape=(A.nrows, B.ncols))
 
 

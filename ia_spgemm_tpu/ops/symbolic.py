@@ -40,8 +40,11 @@ def row_flops_csr(a_row_ptr, a_col_ind, a_nnz, b_row_ptr):
                                indices_are_sorted=True)
 
 
-def plan_symbolic(A: CSR, B: CSR):
-    """Host planner entry: (E, nnz_c_bound, max_row_flops) as python ints.
+def plan_symbolic(A: CSR, B: CSR, *, return_rows: bool = False):
+    """Host planner entry: (E, nnz_c_bound, max_row_flops) as python ints,
+    plus the (m,) int64 per-row flops array when return_rows (feeds the
+    workspace-slab partitioner, the reference's cumulative_row_workspace,
+    coo_dev/common_coo_dev.h:388-421).
 
     The per-row reduction runs on device; only the (m,) row_flops vector
     is read back (the final int64 sums happen on host because TPU lacks
@@ -73,6 +76,8 @@ def plan_symbolic(A: CSR, B: CSR):
         rf = np.asarray(row_flops_csr(A.row_ptr, A.col_ind, A.nnz,
                                       B.row_ptr)).astype(np.int64)
     if rf.size == 0:
-        return 0, 0, 0
-    return (int(rf.sum()), int(np.minimum(rf, B.ncols).sum()),
-            int(rf.max()))
+        out = (0, 0, 0)
+        return out + (rf,) if return_rows else out
+    out = (int(rf.sum()), int(np.minimum(rf, B.ncols).sum()),
+           int(rf.max()))
+    return out + (rf,) if return_rows else out

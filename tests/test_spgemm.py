@@ -254,3 +254,86 @@ def test_compensated_matches_fp64_oracle():
     C32 = esc.spgemm_csr(A, A)
     d32 = abs(C32.to_scipy().astype(np.float64) - want)
     assert d32.max() / scale > 1e-8
+
+
+def test_sliced_esc_matches_oracle():
+    """Workspace slicing (reference: sliced ESC, coo_dev:388-450): a tiny
+    workspace forces multiple row slabs; the assembled result must match
+    the oracle exactly."""
+    a = fixtures.random_csr(60, 60, density=0.15, seed=21)
+    A = CSR.from_scipy(a)
+    plan = esc.plan_spgemm(A, A, workspace_elems=150)
+    assert plan.slabs is not None and len(plan.slabs) > 3
+    C = esc.spgemm_csr(A, A, plan)
+    got = C.to_scipy()
+    got.sum_duplicates()
+    want = _oracle(a, a)
+    assert got.shape == want.shape
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) < fp_tol()
+    # row_ptr integrity: monotone, ends at nnz
+    rp = np.asarray(C.row_ptr)
+    assert (np.diff(rp) >= 0).all()
+    assert rp[-1] == int(C.nnz)
+    assert int(C.nnz) == want.nnz
+
+
+def test_sliced_single_huge_row_raises():
+    a = fixtures.random_csr(8, 8, density=0.9, seed=22)
+    A = CSR.from_scipy(a)
+    with pytest.raises(ValueError, match="row-partition"):
+        esc.plan_spgemm(A, A, workspace_elems=3)
+
+
+def test_sliced_matches_unsliced_plan_results():
+    a = fixtures.banded_csr(48, bandwidth=3, seed=23)
+    A = CSR.from_scipy(a)
+    C1 = esc.spgemm_csr(A, A, esc.plan_spgemm(A, A))
+    C2 = esc.spgemm_csr(A, A, esc.plan_spgemm(A, A, workspace_elems=200))
+    s1 = C1.to_scipy()
+    s2 = C2.to_scipy()
+    d = abs(s1 - s2)
+    assert (d.max() if d.nnz else 0.0) < fp_tol()
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("IA_SPGEMM_TEST_TPU") != "1",
+    reason="E > 2^31 expansion needs the real chip (minutes on CPU)")
+def test_sliced_esc_int32_overflow_expansion_completes():
+    """The reference's GPU handles expansions beyond any single workspace
+    by row-slicing (coo_dev:388-450); round 1 raised on E >= 2^31. Build
+    a matrix whose TOTAL expansion exceeds int32 but whose C stays small
+    (25 duplicated mega-rows in B collapse 25x), and check the sliced
+    path completes single-chip with analytically known values."""
+    import jax.numpy as jnp
+    from ia_spgemm_tpu.formats.types import CSR as _CSR
+
+    kb = 1_000_000       # nnz per B mega-row
+    dup = 25             # A entries per row, all hitting identical rows
+    m_a = 92             # total E = 92 * 25 * 1e6 = 2.3e9 > 2^31
+    k = dup              # B has `dup` rows
+    n = kb               # B cols = the mega-row pattern length
+    # B: dup identical rows, cols 0..kb-1, values 1.0
+    b_row_ptr = np.arange(k + 1, dtype=np.int32) * kb
+    b_col = np.tile(np.arange(kb, dtype=np.int32), k)
+    b_val = np.ones(k * kb, np.float32)
+    B = _CSR(row_ptr=jnp.asarray(b_row_ptr), col_ind=jnp.asarray(b_col),
+             values=jnp.asarray(b_val), nnz=jnp.int32(k * kb),
+             shape=(k, n))
+    # A: m_a rows x dup entries (cols 0..dup-1), value = (row+1)
+    a_row_ptr = np.arange(m_a + 1, dtype=np.int32) * dup
+    a_col = np.tile(np.arange(dup, dtype=np.int32), m_a)
+    a_val = np.repeat(np.arange(1, m_a + 1, dtype=np.float32), dup)
+    A = _CSR(row_ptr=jnp.asarray(a_row_ptr), col_ind=jnp.asarray(a_col),
+             values=jnp.asarray(a_val), nnz=jnp.int32(m_a * dup),
+             shape=(m_a, k))
+    plan = esc.plan_spgemm(A, B)
+    assert plan.flops == m_a * dup * kb
+    assert plan.flops >= 2**31
+    assert plan.slabs is not None
+    C = esc.spgemm_csr(A, B, plan)
+    assert int(C.nnz) == m_a * kb
+    # C[r, :] = dup * (r+1) everywhere -> total = kb * dup * sum(r+1)
+    want = float(kb) * dup * (m_a * (m_a + 1) // 2)
+    got = float(np.sum(np.asarray(C.values, np.float64)))
+    assert abs(got - want) / want < 1e-6
