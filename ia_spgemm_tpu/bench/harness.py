@@ -144,8 +144,16 @@ def run_benchmark(A: CSR, B: CSR,
                   matrix_a: str = "A", matrix_b: str = "B",
                   config: cfg.SpGEMMConfig = cfg.DEFAULT_CONFIG,
                   matnet_pick: Optional[str] = None,
-                  iters: int = 3) -> BenchReport:
-    """Benchmark every algorithm computing C = A @ B, reference-style."""
+                  iters: int = 3,
+                  isolate: bool = False,
+                  isolate_backend: Optional[str] = None) -> BenchReport:
+    """Benchmark every algorithm computing C = A @ B, reference-style.
+
+    isolate=True runs each non-baseline algorithm in a killable
+    subprocess (bench/isolated.py) so a timed-out computation cannot
+    occupy the device and poison later timings — the true equivalent of
+    the reference's pthread_cancel watchdog (main.cpp:770-775). The
+    in-process default is faster but can only abandon, not cancel."""
     flops = get_flop(A, B)
     report = BenchReport(matrix_a=matrix_a, matrix_b=matrix_b,
                          shape_a=A.shape, shape_b=B.shape,
@@ -171,6 +179,15 @@ def run_benchmark(A: CSR, B: CSR,
                 timeout_s = max(config.timeout_scale * ms / 1e3, 5.0)
                 continue
 
+            if isolate:
+                from ia_spgemm_tpu.bench.isolated import (
+                    bench_algorithm_isolated,
+                )
+                iso = bench_algorithm_isolated(
+                    A, B, name, timeout_s=timeout_s, iters=iters,
+                    backend=isolate_backend)
+                report.results[-1] = iso
+                continue
             out = _bench_one(name, A, B, config, timeout_s, res, iters)
             if out is None:
                 continue

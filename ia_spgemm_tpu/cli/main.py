@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--transpose-b", action="store_true",
                    help="use B = A^T (the reference GPU driver's workload,"
                         " main.cu:260-269)")
+    p.add_argument("--isolate", action="store_true",
+                   help="run each algorithm in a killable subprocess so a "
+                        "timed-out kernel frees the device (the reference's "
+                        "pthread_cancel watchdog, main.cpp:770-775)")
     return p
 
 
@@ -135,7 +139,7 @@ def main(argv=None) -> int:
     rep = harness.run_benchmark(
         A, B, algorithms,
         matrix_a=args.matrix_a, matrix_b=args.matrix_b or args.matrix_a,
-        matnet_pick=pick, iters=args.iters)
+        matnet_pick=pick, iters=args.iters, isolate=args.isolate)
     print(report_mod.format_table(rep))
     if args.json:
         with open(args.json, "w") as f:
