@@ -357,21 +357,24 @@ def _bitonic_sort_t(k, v, sub, width: int, start_kk: int,
 
 def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
                        *, width: int, static_strides: bool,
-                       transpose_out: bool):
+                       transpose_out: bool, out_width: int | None = None):
     """Compress phase on pre-sorted transposed tiles: segmented scan,
     rank, omega routing — split from the sort so each kernel's live-array
     set fits scoped VMEM with the static-stride (cheap sublane rotate)
-    form. transpose_out: write row-major (L, width) tiles."""
+    form. transpose_out: write row-major (L, width) tiles. out_width:
+    write only the first out_width sublanes of the routed result (the
+    caller guarantees — or verifies via nnz — that every row's survivors
+    fit)."""
     L = key_ref.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
     _compress_body_t(key_ref[:], val_ref[:], sub, out_col_ref, out_val_ref,
                      nnz_ref, width=width, static_strides=static_strides,
-                     transpose_out=transpose_out)
+                     transpose_out=transpose_out, out_width=out_width)
 
 
 def _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
                      *, width: int, static_strides: bool,
-                     transpose_out: bool):
+                     transpose_out: bool, out_width: int | None = None):
     log_w = width.bit_length() - 1
 
     head = (sub == 0) | (k != pltpu.roll(k, 1, axis=0))
@@ -454,6 +457,9 @@ def _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
 
     col = jnp.where(k2 == SENTINEL, -1, k2)
     out_v = jnp.where(k2 == SENTINEL, jnp.zeros_like(v2), v2)
+    if out_width is not None and out_width < width:
+        col = col[:out_width]
+        out_v = out_v[:out_width]
     if transpose_out:
         out_col_ref[:] = col.T
         out_val_ref[:] = out_v.T
@@ -463,26 +469,33 @@ def _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
 
 
 def _fused_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
-                    *, width: int, start_kk: int, static_strides: bool):
-    """Sort + compress in ONE kernel on pre-transposed (width, L) tiles.
-    Viable now that the input transpose is fused into the expand — the
-    transpose scratch that forced the sort/compress split no longer
-    exists. Saves the HBM round trip of the intermediate sorted pair."""
-    L = key_ref.shape[1]
+                    *, width: int, start_kk: int, static_strides: bool,
+                    transpose_in: bool = False,
+                    out_width: int | None = None):
+    """Sort + compress in ONE kernel on (width, L) tiles (transposed in
+    VMEM from row-major (L, width) tiles when transpose_in). Saves the
+    HBM round trip of the intermediate sorted pair; fits scoped VMEM only
+    for width <= FUSED_MAX_WIDTH."""
+    if transpose_in:
+        k0, v0 = key_ref[:].T, val_ref[:].T
+    else:
+        k0, v0 = key_ref[:], val_ref[:]
+    L = k0.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
-    k, v = _bitonic_sort_t(key_ref[:], val_ref[:], sub, width, start_kk,
-                           static_strides)
+    k, v = _bitonic_sort_t(k0, v0, sub, width, start_kk, static_strides)
     _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
                      width=width, static_strides=static_strides,
-                     transpose_out=False)
+                     transpose_out=False, out_width=out_width)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "start_kk", "interpret",
-                                    "static_strides", "pre_transposed"))
+                                    "static_strides", "pre_transposed",
+                                    "out_width"))
 def _sort_compress_cols(key, val, *, width: int, start_kk: int,
                         interpret: bool, static_strides: bool = True,
-                        pre_transposed: bool = False):
+                        pre_transposed: bool = False,
+                        out_width: int | None = None):
     """Transposed-layout entry. pre_transposed=False: key/val are
     ROW-major (m, width) and the input transpose to the sublane-sort
     layout happens IN VMEM inside the sort kernel (XLA-level transposes
@@ -494,6 +507,7 @@ def _sort_compress_cols(key, val, *, width: int, start_kk: int,
     (col (m, width), val (m, width), nnz (m, 1))."""
     static_strides = static_strides and not interpret
     m = key.shape[1] if pre_transposed else key.shape[0]
+    out_w = width if out_width is None else min(out_width, width)
     grid = (pl.cdiv(m, _TILE_LANES),)
     row_tile = lambda w: pl.BlockSpec(  # noqa: E731
         (_TILE_LANES, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -501,16 +515,18 @@ def _sort_compress_cols(key, val, *, width: int, start_kk: int,
         (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
     in_specs = ([colt(width)] * 2 if pre_transposed
                 else [row_tile(width)] * 2)
-    if pre_transposed and width <= FUSED_MAX_WIDTH:
+    if width <= FUSED_MAX_WIDTH:
         col_t, val_t, nnz = pl.pallas_call(
             functools.partial(_fused_kernel_t, width=width,
                               start_kk=start_kk,
-                              static_strides=static_strides),
+                              static_strides=static_strides,
+                              transpose_in=not pre_transposed,
+                              out_width=out_w),
             grid=grid,
             in_specs=in_specs,
-            out_specs=(colt(width), colt(width), row_tile(1)),
-            out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
-                       jax.ShapeDtypeStruct((width, m), val.dtype),
+            out_specs=(colt(out_w), colt(out_w), row_tile(1)),
+            out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
+                       jax.ShapeDtypeStruct((out_w, m), val.dtype),
                        jax.ShapeDtypeStruct((m, 1), jnp.int32)),
             interpret=interpret,
         )(key, val)
@@ -530,12 +546,12 @@ def _sort_compress_cols(key, val, *, width: int, start_kk: int,
     col_t, val_t, nnz = pl.pallas_call(
         functools.partial(_compress_kernel_t, width=width,
                           static_strides=static_strides,
-                          transpose_out=False),
+                          transpose_out=False, out_width=out_w),
         grid=grid,
         in_specs=[colt(width), colt(width)],
-        out_specs=(colt(width), colt(width), row_tile(1)),
-        out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
-                   jax.ShapeDtypeStruct((width, m), val.dtype),
+        out_specs=(colt(out_w), colt(out_w), row_tile(1)),
+        out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
+                   jax.ShapeDtypeStruct((out_w, m), val.dtype),
                    jax.ShapeDtypeStruct((m, 1), jnp.int32)),
         interpret=interpret,
     )(k_s, v_s)
@@ -648,6 +664,201 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int,
     return key, val
 
 
+@functools.partial(jax.jit, static_argnames=("run", "chunks"))
+def _expand_gather_emajor(a_col, a_val, b_col, b_val, *, run: int,
+                          chunks: int = 1):
+    """Bandwidth-shaped expand, stage 1 of 2 (f32): ONE wide-row gather in
+    ENTRY-MAJOR order. Stage 2 (the select/multiply/layout pass) lives in
+    the Pallas sort kernel's prologue — XLA's version of that pass ran at
+    11x off bandwidth because 32-lane slices/reshapes are tile-misaligned
+    (measured, scripts/x_expand_probe2.py).
+
+    The packed table stores each (sub-run of a) B row as ONE >=128-lane
+    row [col_fwd | val_bits_fwd | col_rev | val_bits_rev]: forward and
+    pre-reversed halves travel in the same fetched row (gathers of
+    >=128-lane rows run at ~HBM bandwidth on v5e; 64-lane rows are
+    issue-bound and cost 3.5x). A final all -1 sentinel row absorbs
+    invalid A entries. Entry-major index order makes the gather output
+    reshape to (ka, m, lanes) so the kernel can take contiguous
+    (L, lanes) blocks per entry.
+
+    Returns g (ka_eff, m, max(128, 4*run)) and avT (ka_eff, m)."""
+    m, ka = a_col.shape
+    k, kb = b_col.shape
+    cap = chunks * run
+    bc_p = jnp.pad(b_col, ((0, 0), (0, cap - kb)), constant_values=-1)
+    bv_p = jnp.pad(b_val, ((0, 0), (0, cap - kb)))
+    if chunks > 1:
+        bc_p = bc_p.reshape(k * chunks, run)
+        bv_p = bv_p.reshape(k * chunks, run)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, ka, chunks), 2)
+        a_col = (jnp.where(a_col[:, :, None] >= 0,
+                           a_col[:, :, None] * chunks + sub, -1)
+                 .reshape(m, ka * chunks))
+        a_val = jnp.broadcast_to(a_val[:, :, None],
+                                 (m, ka, chunks)).reshape(m, ka * chunks)
+        ka = ka * chunks
+    kt = k * chunks
+    bv_bits = jax.lax.bitcast_convert_type(bv_p, jnp.int32)
+    wide = jnp.concatenate(
+        [bc_p, bv_bits, jnp.flip(bc_p, axis=1),
+         jnp.flip(bv_bits, axis=1)], axis=1)          # (kt, 4*run)
+    if wide.shape[1] < 128:
+        wide = jnp.pad(wide, ((0, 0), (0, 128 - wide.shape[1])))
+    # sentinel row kt: cols -1 (masked to SENTINEL in the kernel)
+    wide = jnp.pad(wide, ((0, 1), (0, 0)), constant_values=-1)
+    rows = jnp.where(a_col >= 0, jnp.clip(a_col, 0, kt - 1), kt)
+    g = wide[rows.T.reshape(-1)]                      # (ka*m, >=4*run)
+    return g.reshape(ka, m, g.shape[1]), a_val.T
+
+
+def _prologue_to_refs(g_ref, av_ref, k_ref, v_ref, *, ka: int, run: int,
+                      width: int, L: int):
+    """In-VMEM expand epilogue: per entry e, transpose its (L, lanes)
+    gathered block, select the fwd/rev (run, L) col/val slices by entry
+    parity (sublane-aligned — the XLA equivalent was lane-misaligned and
+    11x off bandwidth), mask, multiply by a_val, and write each slice
+    straight into the (width, L) product refs (incremental writes keep
+    the scoped-VMEM live set at one slice, vs the 27 MB a concat of all
+    ka slices cost)."""
+    for e in range(ka):
+        geT = g_ref[e].T                  # (lanes, L)
+        if e % 2 == 1:
+            c = geT[2 * run:3 * run]
+            vbits = geT[3 * run:4 * run]
+        else:
+            c = geT[0:run]
+            vbits = geT[run:2 * run]
+        v = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+        valid = c >= 0
+        k_ref[e * run:(e + 1) * run, :] = jnp.where(valid, c, SENTINEL)
+        v_ref[e * run:(e + 1) * run, :] = jnp.where(
+            valid, av_ref[e][None, :] * v, 0.0)
+    pad = width - ka * run
+    if pad:
+        k_ref[ka * run:, :] = jnp.full((pad, L), SENTINEL, jnp.int32)
+        v_ref[ka * run:, :] = jnp.zeros((pad, L), jnp.float32)
+
+
+def _expand_sort_kernel_t(g_ref, av_ref, out_k_ref, out_v_ref,
+                          *, ka: int, run: int, width: int,
+                          start_kk: int, static_strides: bool):
+    """Fused expand-prologue + bitonic sort: consumes the e-major gather
+    directly — the (width, m) product pair never round-trips HBM
+    unsorted. The prologue stages through the OUTPUT refs (free VMEM)."""
+    L = av_ref.shape[1]
+    _prologue_to_refs(g_ref, av_ref, out_k_ref, out_v_ref, ka=ka, run=run,
+                      width=width, L=L)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+    k, v = _bitonic_sort_t(out_k_ref[:], out_v_ref[:], sub, width,
+                           start_kk, static_strides)
+    out_k_ref[:] = k
+    out_v_ref[:] = v
+
+
+def _expand_sort_compress_kernel_t(g_ref, av_ref, out_col_ref, out_val_ref,
+                                   nnz_ref, k_scratch, v_scratch,
+                                   *, ka: int, run: int,
+                                   width: int, start_kk: int,
+                                   static_strides: bool,
+                                   out_width: int | None):
+    """Whole pipeline in ONE kernel (expand prologue + sort + compress)
+    for widths whose live set fits scoped VMEM. Stages the product pair
+    through (width, L) scratch."""
+    L = av_ref.shape[1]
+    _prologue_to_refs(g_ref, av_ref, k_scratch, v_scratch, ka=ka, run=run,
+                      width=width, L=L)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+    k, v = _bitonic_sort_t(k_scratch[:], v_scratch[:], sub, width,
+                           start_kk, static_strides)
+    _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
+                     width=width, static_strides=static_strides,
+                     transpose_out=False, out_width=out_width)
+
+
+# g-tile VMEM budget for the fused expand path: ka_eff * lane_width
+# elements per tile lane-row (x 128 lanes x 4 B); past this the prologue's
+# gather tile alone crowds scoped VMEM and the caller falls back to the
+# XLA expand.
+_EXPAND_TILE_ELEMS = 8192
+# the fused expand+sort kernel's live set (gather tile + product pair +
+# unrolled sort temporaries) needs ~27 MB at width 1024 — past the 16 MB
+# default scoped cap but well within the chip's physical VMEM; raise the
+# cap for the fused kernels only
+_FUSED_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "run", "ka", "start_kk",
+                                    "interpret", "static_strides",
+                                    "out_width"))
+def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
+                               start_kk: int, interpret: bool,
+                               static_strides: bool = True,
+                               out_width: int | None = None):
+    """Cols-layout pipeline fed by the e-major gather (g, avT): fused
+    expand+sort (+compress when VMEM allows). Returns row-major
+    (col (m, out_w), val (m, out_w), nnz (m, 1))."""
+    static_strides = static_strides and not interpret
+    m = avT.shape[1]
+    lanes = g.shape[2]
+    out_w = width if out_width is None else min(out_width, width)
+    grid = (pl.cdiv(m, _TILE_LANES),)
+    gspec = pl.BlockSpec((ka, _TILE_LANES, lanes), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    avspec = pl.BlockSpec((ka, _TILE_LANES), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    colt = lambda h: pl.BlockSpec(  # noqa: E731
+        (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    row_tile = lambda w: pl.BlockSpec(  # noqa: E731
+        (_TILE_LANES, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if width <= FUSED_MAX_WIDTH:
+        col_t, val_t, nnz = pl.pallas_call(
+            functools.partial(_expand_sort_compress_kernel_t, ka=ka,
+                              run=run, width=width, start_kk=start_kk,
+                              static_strides=static_strides,
+                              out_width=out_w),
+            grid=grid,
+            in_specs=[gspec, avspec],
+            out_specs=(colt(out_w), colt(out_w), row_tile(1)),
+            out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
+                       jax.ShapeDtypeStruct((out_w, m), jnp.float32),
+                       jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+            scratch_shapes=[pltpu.VMEM((width, _TILE_LANES), jnp.int32),
+                            pltpu.VMEM((width, _TILE_LANES), jnp.float32)],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+            interpret=interpret,
+        )(g, avT)
+        return col_t.T, val_t.T, nnz
+    k_s, v_s = pl.pallas_call(
+        functools.partial(_expand_sort_kernel_t, ka=ka, run=run,
+                          width=width, start_kk=start_kk,
+                          static_strides=static_strides),
+        grid=grid,
+        in_specs=[gspec, avspec],
+        out_specs=(colt(width), colt(width)),
+        out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
+                   jax.ShapeDtypeStruct((width, m), jnp.float32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+        interpret=interpret,
+    )(g, avT)
+    col_t, val_t, nnz = pl.pallas_call(
+        functools.partial(_compress_kernel_t, width=width,
+                          static_strides=static_strides,
+                          transpose_out=False, out_width=out_w),
+        grid=grid,
+        in_specs=[colt(width), colt(width)],
+        out_specs=(colt(out_w), colt(out_w), row_tile(1)),
+        out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
+                   jax.ShapeDtypeStruct((out_w, m), jnp.float32),
+                   jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+        interpret=interpret,
+    )(k_s, v_s)
+    return col_t.T, val_t.T, nnz
+
+
 def bucketed_viable(row_lens: np.ndarray, kb: int,
                     value_bytes: int = 4) -> bool:
     """Probe: can the row-bucketed kernel handle rows with these lengths?
@@ -749,7 +960,8 @@ FUSED_MAX_WIDTH = 256
 
 def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
                    interpret: bool | None = None,
-                   layout: str = "auto") -> ELL:
+                   layout: str = "auto",
+                   out_width: int | None = None) -> ELL:
     """C = A @ B via per-row VMEM bitonic sort-compress. Returns canonical
     left-justified ELL with ascending columns per row.
 
@@ -757,7 +969,15 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
     whose static rotates measured ~3x cheaper than lane rotates; inputs
     transpose IN VMEM, outputs via XLA) for widths within its VMEM
     budget — measured ~10% faster end-to-end at width 1024 — and the
-    row-major kernel otherwise. "rows"/"cols" force a variant."""
+    row-major kernel otherwise. "rows"/"cols" force a variant.
+
+    out_width: optional cap on the returned ELL width (pow2 <= plan
+    width). The compress kernel then writes only out_width columns —
+    halving or better the output traffic when nnz(C) rows are much
+    shorter than the product width. CONTRACT: the caller guarantees every
+    output row's nnz fits (e.g. from a previous run's nnz_row, the
+    steady-state shape in iterated benchmarks/solvers); surplus entries
+    are silently dropped, so verify max(nnz_row) <= out_width once."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     if plan is None:
@@ -768,17 +988,37 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
         interpret = jax.default_backend() != "tpu"
     use_cols = layout == "cols" or (layout == "auto"
                                     and plan.width <= TRANSPOSED_MAX_WIDTH)
-    key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
-                           width=plan.width, run=plan.run,
-                           transpose_out=use_cols, chunks=plan.chunks)
-    if use_cols:
+    ka_eff = A.col_ind.shape[1] * plan.chunks
+    lanes = max(128, 4 * plan.run)
+    fused_expand = (use_cols
+                    and A.values.dtype == jnp.float32
+                    and B.values.dtype == jnp.float32
+                    and ka_eff * plan.run <= plan.width
+                    and ka_eff * lanes <= _EXPAND_TILE_ELEMS)
+    if fused_expand:
+        g, avT = _expand_gather_emajor(A.col_ind, A.values, B.col_ind,
+                                       B.values, run=plan.run,
+                                       chunks=plan.chunks)
+        col, out_val, nnz = _sort_compress_from_gather(
+            g, avT, width=plan.width, run=plan.run, ka=ka_eff,
+            start_kk=2 * plan.run, interpret=interpret,
+            static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH,
+            out_width=out_width)
+        nnz_row = nnz[:, 0]
+    elif use_cols:
+        key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
+                               width=plan.width, run=plan.run,
+                               transpose_out=True, chunks=plan.chunks)
         col, out_val, nnz = _sort_compress_cols(
             key, val, width=plan.width, start_kk=2 * plan.run,
             interpret=interpret,
             static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH,
-            pre_transposed=True)
+            pre_transposed=True, out_width=out_width)
         nnz_row = nnz[:, 0]
     else:
+        key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,
+                               width=plan.width, run=plan.run,
+                               transpose_out=False, chunks=plan.chunks)
         col, out_val, nnz_row = _sort_compress_rows(
             key, val, width=plan.width, start_kk=2 * plan.run,
             tile_rows=plan.tile_rows, interpret=interpret,

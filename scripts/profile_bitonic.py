@@ -46,37 +46,45 @@ def main():
         "width": plan.width, "run": plan.run, "chunks": plan.chunks,
         "ka": int(A_ell.col_ind.shape[1])}}
 
-    use_cols = plan.width <= bitonic.TRANSPOSED_MAX_WIDTH
+    ka_eff = A_ell.col_ind.shape[1] * plan.chunks
+    expand_g = functools.partial(
+        bitonic._expand_gather_emajor, A_ell.col_ind, A_ell.values,
+        A_ell.col_ind, A_ell.values, run=plan.run, chunks=plan.chunks)
+    out["expand_gather"] = profiling.device_time_ms(expand_g)
+    print("expand_gather", out["expand_gather"]["device_ms"], flush=True)
 
-    expand = functools.partial(
-        bitonic._expand_ell, A_ell.col_ind, A_ell.values,
-        A_ell.col_ind, A_ell.values, width=plan.width, run=plan.run,
-        transpose_out=use_cols, chunks=plan.chunks)
-    out["expand"] = profiling.device_time_ms(expand)
-
-    key, val = expand()
-    key, val = jax.block_until_ready((key, val))
+    g, avT = jax.block_until_ready(expand_g())
 
     sc = functools.partial(
-        bitonic._sort_compress_cols, key, val, width=plan.width,
-        start_kk=2 * plan.run, interpret=False,
-        static_strides=plan.width <= bitonic.STATIC_STRIDE_MAX_WIDTH,
-        pre_transposed=True)
-    out["sort_compress"] = profiling.device_time_ms(sc)
+        bitonic._sort_compress_from_gather, g, avT, width=plan.width,
+        run=plan.run, ka=ka_eff, start_kk=2 * plan.run, interpret=False,
+        static_strides=plan.width <= bitonic.STATIC_STRIDE_MAX_WIDTH)
+    out["fused_sort_compress"] = profiling.device_time_ms(sc)
+    print("fused_sort_compress", out["fused_sort_compress"]["device_ms"],
+          flush=True)
 
-    # epilogue = the XLA transposes back to row-major: time sc minus a
-    # variant returning the transposed views unsummed is awkward; instead
-    # time a standalone transpose of the same footprint
-    t_fn = jax.jit(lambda k, v: (k.T + 0, v.T + 0.0))
-    out["transpose_pair"] = profiling.device_time_ms(t_fn, key, val)
+    sc512 = functools.partial(
+        bitonic._sort_compress_from_gather, g, avT, width=plan.width,
+        run=plan.run, ka=ka_eff, start_kk=2 * plan.run, interpret=False,
+        static_strides=plan.width <= bitonic.STATIC_STRIDE_MAX_WIDTH,
+        out_width=512)
+    out["fused_sc_outw512"] = profiling.device_time_ms(sc512)
+    print("fused_sc_outw512", out["fused_sc_outw512"]["device_ms"],
+          flush=True)
 
     full = functools.partial(bitonic.spgemm_bitonic, A_ell, A_ell, plan)
     out["full"] = profiling.device_time_ms(full)
+    print("full", out["full"]["device_ms"], flush=True)
+
+    full512 = functools.partial(bitonic.spgemm_bitonic, A_ell, A_ell,
+                                plan, out_width=512)
+    out["full_outw512"] = profiling.device_time_ms(full512)
 
     C = jax.block_until_ready(full())
     out["checksum"] = profiling.device_time_ms(
         lambda: C.checksum())
     out["nnz_out"] = int(C.nnz)
+    out["max_row_nnz"] = int(np.max(np.asarray(C.nnz_row)))
 
     print(json.dumps(out, indent=2))
 

@@ -190,3 +190,29 @@ def test_transposed_layout_matches(tmp_path):
     np.testing.assert_allclose(np.asarray(C1.values),
                                np.asarray(C2.values), rtol=1e-6)
     assert (np.asarray(C1.nnz_row) == np.asarray(C2.nnz_row)).all()
+
+
+def test_bitonic_out_width_cap():
+    """out_width cap: when every row's nnz(C) fits, the capped result
+    matches the full-width result exactly; nnz_row lets the caller verify
+    the contract."""
+    rng = np.random.default_rng(7)
+    a = sp.random(96, 96, density=0.08,
+                  random_state=np.random.RandomState(7), format="csr")
+    a.data[:] = rng.standard_normal(a.nnz)
+    A = _ell(a)
+    full = bitonic.spgemm_bitonic(A, A)
+    max_nnz = int(np.max(np.asarray(full.nnz_row)))
+    cap = 128
+    while cap < max_nnz:
+        cap *= 2
+    capped = bitonic.spgemm_bitonic(A, A, out_width=cap)
+    assert capped.col_ind.shape[1] == min(
+        cap, full.col_ind.shape[1])
+    w = capped.col_ind.shape[1]
+    assert np.array_equal(np.asarray(capped.nnz_row),
+                          np.asarray(full.nnz_row))
+    assert np.array_equal(np.asarray(capped.col_ind),
+                          np.asarray(full.col_ind)[:, :w])
+    assert np.allclose(np.asarray(capped.values),
+                       np.asarray(full.values)[:, :w])
