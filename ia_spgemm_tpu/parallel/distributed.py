@@ -122,19 +122,40 @@ def partition_rows(A: CSR, num_shards: int, *, balance: str = "rows",
 
 
 def _assemble_global_csr(rp_blocks, col_blocks, val_blocks, nnz_blocks,
-                         *, n_cols: int):
+                         *, n_cols: int, row_start=None,
+                         n_rows: int | None = None):
     """Fuse gathered per-shard CSR blocks (padded) into one global CSR.
 
     rp_blocks: (D, m_loc+1) local offsets; returns global (row_ptr, col,
-    val) with capacity D*cap_loc (entries compacted to the front)."""
+    val) with capacity D*cap_loc (entries compacted to the front).
+
+    row_start/n_rows: the blocks' global first-row ids and the true global
+    row count — REQUIRED when row counts don't divide evenly (blocks pad
+    tail rows; the scatter below drops them). When omitted, every block is
+    assumed to hold exactly m_loc real rows."""
     D, cap_loc = col_blocks.shape
     m_loc = rp_blocks.shape[1] - 1
     shard_off = jnp.concatenate([
         jnp.zeros(1, jnp.int32),
         jnp.cumsum(nnz_blocks.astype(jnp.int32))])
-    # global row_ptr: block-local offsets + per-shard entry offset
-    row_ptr = (rp_blocks[:, :-1] + shard_off[:-1, None]).reshape(-1)
-    row_ptr = jnp.concatenate([row_ptr, shard_off[-1:]])
+    if row_start is None:
+        # even split: block-local offsets + per-shard entry offset
+        row_ptr = (rp_blocks[:, :-1] + shard_off[:-1, None]).reshape(-1)
+        row_ptr = jnp.concatenate([row_ptr, shard_off[-1:]])
+    else:
+        # uneven split: scatter each block's REAL rows to their global
+        # positions; padded tail rows fall into a dropped slot
+        rows_d = jnp.concatenate([row_start[1:],
+                                  jnp.full(1, n_rows, jnp.int32)]) \
+            - row_start
+        li = jax.lax.broadcasted_iota(jnp.int32, (D, m_loc), 1)
+        valid_r = li < rows_d[:, None]
+        dst_r = jnp.where(valid_r, row_start[:, None] + li, n_rows + 1)
+        rp_g = jnp.zeros(n_rows + 2, jnp.int32)
+        rp_g = rp_g.at[dst_r.reshape(-1)].set(
+            (rp_blocks[:, :-1] + shard_off[:-1, None]).reshape(-1),
+            mode="drop")
+        row_ptr = rp_g[:n_rows + 1].at[n_rows].set(shard_off[-1])
     # compact entries: local entry t of shard d -> shard_off[d] + t
     local_t = jax.lax.broadcasted_iota(jnp.int32, (D, cap_loc), 1)
     valid = local_t < nnz_blocks[:, None]
@@ -188,7 +209,7 @@ def dist_spgemm(A: ShardedCSR, B, mesh: Mesh,
                                B.row_ptr, B.col_ind, B.values)
     else:
         def local_fn(a_rp, a_col, a_val, a_nnz,
-                     b_rp, b_col, b_val, b_nnz):
+                     b_rp, b_col, b_val, b_nnz, b_rs):
             a_rp, a_col, a_val = a_rp[0], a_col[0], a_val[0]
             a_nnz = a_nnz[0]
             # all_gather B's row blocks over ICI, reassemble global CSR
@@ -196,16 +217,13 @@ def dist_spgemm(A: ShardedCSR, B, mesh: Mesh,
             g_col = jax.lax.all_gather(b_col[0], axis)
             g_val = jax.lax.all_gather(b_val[0], axis)
             g_nnz = jax.lax.all_gather(b_nnz[0], axis)
+            # scatter the blocks' REAL rows into global positions by each
+            # block's row_start — handles uneven splits (blocks pad tail
+            # rows) and flops-balanced partitions alike
+            g_rs = jax.lax.all_gather(b_rs[0], axis)       # (D, 1)
             b_rp_g, b_col_g, b_val_g, _ = _assemble_global_csr(
-                g_rp, g_col, g_val, g_nnz, n_cols=n)
-            # trim row_ptr to exactly k+1 (blocks may pad rows)
-            k_loc = g_rp.shape[1] - 1
-            D = g_rp.shape[0]
-            if D * k_loc != k:
-                # padded rows only exist at block tails when rows don't
-                # divide evenly; supported only for even splits
-                raise NotImplementedError(
-                    "b_sharded requires rows divisible by mesh size")
+                g_rp, g_col, g_val, g_nnz, n_cols=n,
+                row_start=g_rs[:, 0], n_rows=k)
             a_row = esc._entry_rows_from_row_ptr(a_rp, a_col.shape[0])
             rp, col, val, nnz = esc._esc_core(
                 a_row, a_col, a_val, a_nnz, b_rp_g, b_col_g, b_val_g,
@@ -214,11 +232,12 @@ def dist_spgemm(A: ShardedCSR, B, mesh: Mesh,
 
         fn = shard_map(
             local_fn, mesh=mesh,
-            in_specs=(P(axis),) * 8,
+            in_specs=(P(axis),) * 9,
             out_specs=(P(axis),) * 4,
             check_vma=False)
         rp, col, val, nnz = fn(A.row_ptr, A.col_ind, A.values, A.nnz,
-                               B.row_ptr, B.col_ind, B.values, B.nnz)
+                               B.row_ptr, B.col_ind, B.values, B.nnz,
+                               B.row_start[:, None])
 
     return ShardedCSR(row_ptr=rp, col_ind=col, values=val, nnz=nnz,
                       row_start=A.row_start, shape=(m, n))

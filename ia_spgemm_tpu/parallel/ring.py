@@ -132,29 +132,35 @@ def partition_rows_ell(A: ELL, num_shards: int,
     return out
 
 
-def plan_ring(A: ELL, B: ELL, num_shards: int) -> bitonic.BitonicPlan:
+def plan_ring(A: ELL, B: ELL, num_shards: int,
+              allow_split: bool = True) -> bitonic.BitonicPlan:
     m_loc = -(-A.nrows // num_shards)
-    # allow_split=False: the ring's inline expansion pads each B block to
-    # one `run`-slot row per entry (no sub-run chunking support)
     return bitonic.plan_bitonic_dims(m_loc, A.max_nnz_per_row,
-                                     B.max_nnz_per_row, allow_split=False)
+                                     B.max_nnz_per_row,
+                                     allow_split=allow_split)
 
 
 def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
                 plan: bitonic.BitonicPlan,
                 interpret: bool | None = None) -> ShardedELL:
-    """C = A @ B, A and C row-sharded, B streamed around the ring."""
+    """C = A @ B, A and C row-sharded, B streamed around the ring.
+
+    B may be partitioned with any balance: each chip builds the inverse
+    row map (global B row -> owning shard, local slot) once from an
+    all_gather of B.row_map, so membership tests against the circulating
+    block are O(1) per entry (round 1 required contiguous B blocks).
+    Sub-run splitting (plan.chunks > 1) is applied to the circulating
+    block's packed table exactly as the single-chip expand does."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if not B.contiguous:
-        raise ValueError("B must be partitioned with balance='rows' — the "
-                         "ring's owner arithmetic needs contiguous blocks")
     m, _ = A.shape
     n = B.shape[1]
     fn = _ring_fn(mesh, A.num_shards, A.rows_per_shard, B.rows_per_shard,
                   A.width, B.width, jnp.dtype(A.values.dtype),
-                  plan.run, plan.width, plan.tile_rows, interpret)
-    col, val, nnz_row = fn(A.col_ind, A.values, B.col_ind, B.values)
+                  plan.run, plan.width, plan.tile_rows, interpret,
+                  plan.chunks, B.contiguous)
+    col, val, nnz_row = fn(A.col_ind, A.values, B.col_ind, B.values,
+                           B.row_map)
     return ShardedELL(col_ind=col, values=val, nnz_row=nnz_row,
                       row_map=A.row_map, shape=(m, n),
                       contiguous=A.contiguous)
@@ -162,34 +168,76 @@ def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
 
 @functools.lru_cache(maxsize=64)
 def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
-             dtype, run: int, width: int, tile_rows: int, interpret: bool):
+             dtype, run: int, width: int, tile_rows: int, interpret: bool,
+             chunks: int = 1, b_contiguous: bool = True):
     """Build + jit the sharded ring program once per (mesh, shapes) —
     rebuilding shard_map per call retraces and recompiles every time."""
     from jax import shard_map
 
     axis = mesh.axis_names[0]
     perm = [(i, (i - 1) % D) for i in range(D)]
+    ke = ka * chunks          # expanded entry count per row
+    kc = k_loc * chunks       # circulating table rows (fwd half)
 
-    def local_fn(a_col, a_val, b_col, b_val):
+    def local_fn(a_col, a_val, b_col, b_val, b_rmap):
         a_col, a_val = a_col[0], a_val[0]          # (m_loc, ka)
         b_col, b_val = b_col[0], b_val[0]          # (k_loc, kb)
         d = jax.lax.axis_index(axis)
 
-        key0 = jnp.full((m_loc, ka, run), bitonic.SENTINEL, jnp.int32)
-        val0 = jnp.zeros((m_loc, ka, run), a_val.dtype)
+        # --- per-entry (owner shard, local slot) of each A column ---
+        if b_contiguous:
+            valid_e = a_col >= 0
+            owner_of = jnp.where(valid_e, a_col // k_loc, -1)
+            local_of = jnp.clip(a_col - jnp.maximum(owner_of, 0) * k_loc,
+                                0, k_loc - 1)
+        else:
+            # inverse of B's row permutation, built once per call from an
+            # all_gather of the (D, k_loc) row map (tiny)
+            g_rmap = jax.lax.all_gather(b_rmap[0], axis)   # (D, k_loc)
+            k_total = D * k_loc
+            ids = jnp.clip(g_rmap.reshape(-1), -1, k_total - 1)
+            sh = jax.lax.broadcasted_iota(
+                jnp.int32, (D, k_loc), 0).reshape(-1)
+            sl = jax.lax.broadcasted_iota(
+                jnp.int32, (D, k_loc), 1).reshape(-1)
+            owner_tab = jnp.full((k_total + 1,), -1, jnp.int32)
+            local_tab = jnp.zeros((k_total + 1,), jnp.int32)
+            safe = jnp.where(ids >= 0, ids, k_total)
+            owner_tab = owner_tab.at[safe].set(sh, mode="drop")
+            local_tab = local_tab.at[safe].set(sl, mode="drop")
+            a_safe = jnp.where(a_col >= 0,
+                               jnp.clip(a_col, 0, k_total - 1), k_total)
+            owner_of = owner_tab[a_safe]
+            local_of = local_tab[a_safe]
+
+        # --- sub-run chunk expansion of the A entries ---
+        if chunks > 1:
+            sub = jax.lax.broadcasted_iota(jnp.int32, (1, ka, chunks), 2)
+            owner_of = jnp.broadcast_to(
+                owner_of[:, :, None], (m_loc, ka, chunks)).reshape(m_loc,
+                                                                   ke)
+            local_of = (local_of[:, :, None] * chunks + sub).reshape(
+                m_loc, ke)
+            a_val_e = jnp.broadcast_to(
+                a_val[:, :, None], (m_loc, ka, chunks)).reshape(m_loc, ke)
+        else:
+            a_val_e = a_val
+
+        key0 = jnp.full((m_loc, ke, run), bitonic.SENTINEL, jnp.int32)
+        val0 = jnp.zeros((m_loc, ke, run), a_val.dtype)
 
         def step(s, carry):
             bc, bv, key, val = carry
             owner = jax.lax.rem(d + s, jnp.int32(D))
-            r0 = owner * k_loc
-            in_blk = (a_col >= r0) & (a_col < r0 + k_loc)
-            local_col = jnp.clip(a_col - r0, 0, k_loc - 1)
+            in_blk = owner_of == owner
             # doubled packed table: forward + reversed rows (odd A entries
             # read the reversed half -> alternating-direction runs)
-            bc_p = jnp.pad(bc, ((0, 0), (0, run - kb)), constant_values=-1)
-            bv_p = jnp.pad(bv, ((0, 0), (0, run - kb)))
-            parity = (jax.lax.broadcasted_iota(jnp.int32, (1, ka), 1) & 1)
-            rows = (local_col + k_loc * parity).reshape(-1)
+            bc_p = jnp.pad(bc, ((0, 0), (0, chunks * run - kb)),
+                           constant_values=-1).reshape(kc, run)
+            bv_p = jnp.pad(bv, ((0, 0), (0, chunks * run - kb))
+                           ).reshape(kc, run)
+            parity = (jax.lax.broadcasted_iota(jnp.int32, (1, ke), 1) & 1)
+            rows = (local_of + kc * parity).reshape(-1)
             if a_val.dtype == jnp.float32:
                 fwd = jnp.concatenate(
                     [bc_p, jax.lax.bitcast_convert_type(bv_p, jnp.int32)],
@@ -200,18 +248,18 @@ def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
                          jnp.flip(bv_p, axis=1), jnp.int32)], axis=1)
                 table = jnp.concatenate([fwd, rev], axis=0)
                 g = table[rows]
-                gc = g[:, :run].reshape(m_loc, ka, run)
+                gc = g[:, :run].reshape(m_loc, ke, run)
                 gv = jax.lax.bitcast_convert_type(
-                    g[:, run:], jnp.float32).reshape(m_loc, ka, run)
+                    g[:, run:], jnp.float32).reshape(m_loc, ke, run)
             else:
                 bc_t = jnp.concatenate([bc_p, jnp.flip(bc_p, axis=1)], 0)
                 bv_t = jnp.concatenate([bv_p, jnp.flip(bv_p, axis=1)], 0)
-                gc = bc_t[rows].reshape(m_loc, ka, run)
-                gv = bv_t[rows].reshape(m_loc, ka, run)
+                gc = bc_t[rows].reshape(m_loc, ke, run)
+                gv = bv_t[rows].reshape(m_loc, ke, run)
             sel = in_blk[:, :, None] & (gc >= 0)
             key = jnp.where(in_blk[:, :, None],
                             jnp.where(sel, gc, bitonic.SENTINEL), key)
-            val = jnp.where(sel, a_val[:, :, None] * gv, val)
+            val = jnp.where(sel, a_val_e[:, :, None] * gv, val)
             # send the block on while the gather above computes (async
             # collective-permute over ICI)
             bc = jax.lax.ppermute(bc, axis, perm)
@@ -221,9 +269,9 @@ def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
         _, _, key, val = jax.lax.fori_loop(
             0, D, step, (b_col, b_val, key0, val0))
 
-        key = key.reshape(m_loc, ka * run)
-        val = val.reshape(m_loc, ka * run)
-        pad = width - ka * run
+        key = key.reshape(m_loc, ke * run)
+        val = val.reshape(m_loc, ke * run)
+        pad = width - ke * run
         if pad:
             key = jnp.pad(key, ((0, 0), (0, pad)),
                           constant_values=bitonic.SENTINEL)
@@ -236,7 +284,7 @@ def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
 
     return jax.jit(shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis),) * 4,
+        in_specs=(P(axis),) * 5,
         out_specs=(P(axis),) * 3,
         check_vma=False))
 

@@ -81,3 +81,29 @@ def test_sharded_layout_is_actually_sharded(mesh):
     # each leading-dim slice lives on its own device
     shard_devs = {s.device for s in As.values.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_dist_spgemm_sharded_B_uneven_rows(mesh):
+    """Round-1 limitation lifted: sharded-B with row counts that do NOT
+    divide the mesh (blocks pad tail rows; assembly scatters real rows by
+    row_start)."""
+    a = fixtures.random_csr(61, 61, density=0.1, seed=55)
+    b = fixtures.random_csr(61, 61, density=0.12, seed=56)
+    A, B = CSR.from_scipy(a), CSR.from_scipy(b)
+    As = dist.partition_rows(A, 8, mesh=mesh)
+    Bs = dist.partition_rows(B, 8, mesh=mesh)
+    e_cap, out_cap = dist.plan_dist_spgemm(A, B, 8)
+    C = dist.dist_spgemm(As, Bs, mesh, e_cap=e_cap, out_cap=out_cap)
+    _check(a, b, dist.gather_result(C))
+
+
+def test_dist_spgemm_sharded_B_flops_balanced(mesh):
+    """Sharded-B where B's blocks come from a flops-balanced (uneven)
+    partition."""
+    a = fixtures.random_csr(64, 64, density=0.1, seed=57)
+    A = CSR.from_scipy(a)
+    As = dist.partition_rows(A, 8, balance="flops", B=A, mesh=mesh)
+    Bs = dist.partition_rows(A, 8, balance="flops", B=A, mesh=mesh)
+    e_cap, out_cap = dist.plan_dist_spgemm(A, A, 8, balance="flops")
+    C = dist.dist_spgemm(As, Bs, mesh, e_cap=e_cap, out_cap=out_cap)
+    _check(a, a, dist.gather_result(C))

@@ -90,12 +90,45 @@ def test_ring_flops_balanced(mesh):
     assert len(heavy_shards) == 8
 
 
-def test_ring_rejects_permuted_B(mesh):
-    import pytest as _pytest
+def test_ring_permuted_B(mesh):
+    """Round-1 limitation lifted: B may be flops-balanced (permuted rows);
+    the ring builds the inverse row map from an all_gather of B.row_map."""
     a = fixtures.random_csr(64, 64, density=0.1, seed=68)
     A = _ell(a)
     As = ring.partition_rows_ell(A, 8, mesh=mesh)
     Bs = ring.partition_rows_ell(A, 8, mesh=mesh, balance="flops")
     plan = ring.plan_ring(A, A, 8)
-    with _pytest.raises(ValueError):
-        ring.ring_spgemm(As, Bs, mesh, plan)
+    C = ring.ring_spgemm(As, Bs, mesh, plan)
+    got = ring.gather_result_ell(C).to_scipy()
+    want = (a @ a).tocsr().astype(np.float32)
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) < 1e-4
+
+
+def test_ring_subrun_split(mesh):
+    """Round-1 limitation lifted: the ring applies sub-run chunk splitting
+    (plan.chunks > 1) to the circulating block, matching the single-chip
+    expand's width reduction."""
+    rng = np.random.default_rng(69)
+    # B rows just past a pow2 (kb ~ 40) => split plan picks chunks > 1
+    import scipy.sparse as sp
+    m = 48
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        ln = int(rng.integers(33, 41))
+        cs = rng.choice(m, size=ln, replace=False)
+        for c in cs:
+            rows.append(r)
+            cols.append(int(c))
+            vals.append(float(rng.standard_normal()))
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    A = _ell(a)
+    plan = ring.plan_ring(A, A, 8)
+    assert plan.chunks > 1, (plan.chunks, plan.width)
+    As = ring.partition_rows_ell(A, 8, mesh=mesh)
+    Bs = ring.partition_rows_ell(A, 8, mesh=mesh)
+    C = ring.ring_spgemm(As, Bs, mesh, plan)
+    got = ring.gather_result_ell(C).to_scipy()
+    want = (a @ a).tocsr().astype(np.float32)
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) < 2e-4
