@@ -130,7 +130,14 @@ def csr_to_ell(A: CSR, width: int | None = None,
         return None
     if K == 0:
         K = 1  # keep static shapes non-degenerate
-    if jax.default_backend() == "tpu" and A.values.dtype != jnp.float64:
+    # packed-gather fill costs ~1 gather per (m*K) SLOT; the scatter fill
+    # costs ~1 scatter per NNZ. For skewed matrices (K >> mean row length)
+    # the slot count dwarfs nnz — and the gather's (m*K, 2) packed output
+    # tile-pads 2 -> 128 lanes (64x memory, an OOM at K ~ 1200). Use the
+    # gather only when padding is modest.
+    slots_per_nnz = (A.nrows * K) / max(int(A.nnz), 1)
+    if (jax.default_backend() == "tpu" and A.values.dtype != jnp.float64
+            and slots_per_nnz <= 4.0):
         # packed-gather fill: gathers beat scatters ~4x on v5e
         from ia_spgemm_tpu.formats.ell_fill import ell_fill_gather
         col_p = jnp.pad(A.col_ind, (0, K), constant_values=-1)

@@ -46,6 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ia_spgemm_tpu import config as cfg
 from ia_spgemm_tpu.formats.types import ELL
 
 SENTINEL = np.int32(np.iinfo(np.int32).max)
@@ -80,6 +81,14 @@ class BitonicPlan:
 
 def _next_pow2(n: int) -> int:
     return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _next_pow2_arr(x: np.ndarray) -> np.ndarray:
+    """Vectorized next-pow2 (np.log2 is exact on dyadics, so ceil is
+    safe; np.vectorize(_next_pow2) is a per-element python loop that
+    measured ~100x slower on (m,)-sized planner arrays)."""
+    x = np.maximum(np.asarray(x, np.int64), 1)
+    return (np.int64(1) << np.ceil(np.log2(x)).astype(np.int64))
 
 
 def plan_bitonic_dims(m: int, ka: int, kb: int,
@@ -528,6 +537,9 @@ def _sort_compress_cols(key, val, *, width: int, start_kk: int,
             out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
                        jax.ShapeDtypeStruct((out_w, m), val.dtype),
                        jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+            compiler_params=None if interpret else
+            pltpu.CompilerParams(
+                vmem_limit_bytes=_FUSED_VMEM_LIMIT),
             interpret=interpret,
         )(key, val)
         return col_t.T, val_t.T, nnz
@@ -541,6 +553,8 @@ def _sort_compress_cols(key, val, *, width: int, start_kk: int,
         out_specs=(colt(width), colt(width)),
         out_shape=(jax.ShapeDtypeStruct((width, m), jnp.int32),
                    jax.ShapeDtypeStruct((width, m), val.dtype)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=interpret,
     )(key, val)
     col_t, val_t, nnz = pl.pallas_call(
@@ -553,6 +567,8 @@ def _sort_compress_cols(key, val, *, width: int, start_kk: int,
         out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
                    jax.ShapeDtypeStruct((out_w, m), val.dtype),
                    jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=interpret,
     )(k_s, v_s)
     # (in-VMEM transpose_out overflowed scoped VMEM by ~20% at width 1024;
@@ -582,6 +598,8 @@ def _sort_compress_rows(key, val, *, width: int, start_kk: int,
         out_shape=(jax.ShapeDtypeStruct((m, width), jnp.int32),
                    jax.ShapeDtypeStruct((m, width), val.dtype),
                    jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=interpret,
     )(key, val)
 
@@ -684,6 +702,17 @@ def _expand_gather_emajor(a_col, a_val, b_col, b_val, *, run: int,
 
     Returns g (ka_eff, m, max(128, 4*run)) and avT (ka_eff, m)."""
     m, ka = a_col.shape
+    wide, kt = _build_wide_table(b_col, b_val, run=run, chunks=chunks)
+    a_col, a_val, ka = _chunk_entries(a_col, a_val, chunks)
+    rows = jnp.where(a_col >= 0, jnp.clip(a_col, 0, kt - 1), kt)
+    g = wide[rows.T.reshape(-1)]                      # (ka*m, >=4*run)
+    return g.reshape(ka, m, g.shape[1]), a_val.T
+
+
+def _build_wide_table(b_col, b_val, *, run: int, chunks: int):
+    """Packed wide B table (kt+1, max(128, 4*run)):
+    [col_f | val_bits_f | col_rev | val_bits_rev] per (sub-run of a) row,
+    final sentinel row of -1. Returns (table, kt)."""
     k, kb = b_col.shape
     cap = chunks * run
     bc_p = jnp.pad(b_col, ((0, 0), (0, cap - kb)), constant_values=-1)
@@ -691,13 +720,6 @@ def _expand_gather_emajor(a_col, a_val, b_col, b_val, *, run: int,
     if chunks > 1:
         bc_p = bc_p.reshape(k * chunks, run)
         bv_p = bv_p.reshape(k * chunks, run)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (1, ka, chunks), 2)
-        a_col = (jnp.where(a_col[:, :, None] >= 0,
-                           a_col[:, :, None] * chunks + sub, -1)
-                 .reshape(m, ka * chunks))
-        a_val = jnp.broadcast_to(a_val[:, :, None],
-                                 (m, ka, chunks)).reshape(m, ka * chunks)
-        ka = ka * chunks
     kt = k * chunks
     bv_bits = jax.lax.bitcast_convert_type(bv_p, jnp.int32)
     wide = jnp.concatenate(
@@ -707,9 +729,22 @@ def _expand_gather_emajor(a_col, a_val, b_col, b_val, *, run: int,
         wide = jnp.pad(wide, ((0, 0), (0, 128 - wide.shape[1])))
     # sentinel row kt: cols -1 (masked to SENTINEL in the kernel)
     wide = jnp.pad(wide, ((0, 1), (0, 0)), constant_values=-1)
-    rows = jnp.where(a_col >= 0, jnp.clip(a_col, 0, kt - 1), kt)
-    g = wide[rows.T.reshape(-1)]                      # (ka*m, >=4*run)
-    return g.reshape(ka, m, g.shape[1]), a_val.T
+    return wide, kt
+
+
+def _chunk_entries(a_col, a_val, chunks: int):
+    """Expand A's entries for sub-run splitting: each entry becomes
+    `chunks` sub-entries addressing consecutive table rows."""
+    m, ka = a_col.shape
+    if chunks == 1:
+        return a_col, a_val, ka
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, ka, chunks), 2)
+    a_col = (jnp.where(a_col[:, :, None] >= 0,
+                       a_col[:, :, None] * chunks + sub, -1)
+             .reshape(m, ka * chunks))
+    a_val = jnp.broadcast_to(a_val[:, :, None],
+                             (m, ka, chunks)).reshape(m, ka * chunks)
+    return a_col, a_val, ka * chunks
 
 
 def _prologue_to_refs(g_ref, av_ref, k_ref, v_ref, *, ka: int, run: int,
@@ -742,13 +777,54 @@ def _prologue_to_refs(g_ref, av_ref, k_ref, v_ref, *, ka: int, run: int,
 
 def _expand_sort_kernel_t(g_ref, av_ref, out_k_ref, out_v_ref,
                           *, ka: int, run: int, width: int,
-                          start_kk: int, static_strides: bool):
+                          start_kk: int, static_strides: bool,
+                          ka_blocks: int = 1):
     """Fused expand-prologue + bitonic sort: consumes the e-major gather
     directly — the (width, m) product pair never round-trips HBM
-    unsorted. The prologue stages through the OUTPUT refs (free VMEM)."""
+    unsorted. The prologue stages through the OUTPUT refs (free VMEM).
+
+    ka_blocks > 1: the entry dimension is split over grid axis 1 so the
+    gather tile stays inside scoped VMEM for wide (ragged) classes; the
+    output block is revisited across the ka steps and the sort runs on
+    the last one."""
     L = av_ref.shape[1]
-    _prologue_to_refs(g_ref, av_ref, out_k_ref, out_v_ref, ka=ka, run=run,
-                      width=width, L=L)
+    ka_blk = g_ref.shape[0]
+    if ka_blocks == 1:
+        _prologue_to_refs(g_ref, av_ref, out_k_ref, out_v_ref, ka=ka,
+                          run=run, width=width, L=L)
+    else:
+        j = pl.program_id(1)
+        base = j * ka_blk * run
+        for e in range(ka_blk):
+            geT = g_ref[e].T
+            if e % 2 == 1:
+                # NOTE: parity must follow the GLOBAL entry index; with
+                # even ka_blk the block-local parity matches it
+                c = geT[2 * run:3 * run]
+                vbits = geT[3 * run:4 * run]
+            else:
+                c = geT[0:run]
+                vbits = geT[run:2 * run]
+            v = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+            valid = c >= 0
+            out_k_ref[pl.ds(base + e * run, run), :] = jnp.where(
+                valid, c, SENTINEL)
+            out_v_ref[pl.ds(base + e * run, run), :] = jnp.where(
+                valid, av_ref[e][None, :] * v, 0.0)
+        pad = width - ka * run
+
+        @pl.when(j == ka_blocks - 1)
+        def _():
+            if pad:
+                out_k_ref[ka * run:, :] = jnp.full((pad, L), SENTINEL,
+                                                   jnp.int32)
+                out_v_ref[ka * run:, :] = jnp.zeros((pad, L), jnp.float32)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+            k, v = _bitonic_sort_t(out_k_ref[:], out_v_ref[:], sub, width,
+                                   start_kk, static_strides)
+            out_k_ref[:] = k
+            out_v_ref[:] = v
+        return
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
     k, v = _bitonic_sort_t(out_k_ref[:], out_v_ref[:], sub, width,
                            start_kk, static_strides)
@@ -785,7 +861,11 @@ _EXPAND_TILE_ELEMS = 8192
 # unrolled sort temporaries) needs ~27 MB at width 1024 — past the 16 MB
 # default scoped cap but well within the chip's physical VMEM; raise the
 # cap for the fused kernels only
-_FUSED_VMEM_LIMIT = 64 * 1024 * 1024
+_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+# cols-layout kernels above this width run LOOP-CARRIED strides: the
+# fully unrolled network's live set grows with width (83 MB at 2048)
+# while the dynamic form stays flat (~25% slower stages)
+_COLS_STATIC_MAX_WIDTH = 1024
 
 
 @functools.partial(jax.jit,
@@ -803,16 +883,36 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
     m = avT.shape[1]
     lanes = g.shape[2]
     out_w = width if out_width is None else min(out_width, width)
-    grid = (pl.cdiv(m, _TILE_LANES),)
-    gspec = pl.BlockSpec((ka, _TILE_LANES, lanes), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)
-    avspec = pl.BlockSpec((ka, _TILE_LANES), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)
-    colt = lambda h: pl.BlockSpec(  # noqa: E731
-        (h, _TILE_LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
-    row_tile = lambda w: pl.BlockSpec(  # noqa: E731
-        (_TILE_LANES, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    if width <= FUSED_MAX_WIDTH:
+    L = _TILE_LANES
+    # wide (ragged) classes: split the entry dim over grid axis 1 so the
+    # gather tile stays inside scoped VMEM (lane-dim tiles below 128 are
+    # illegal, so the row tile L cannot shrink instead)
+    ka_blocks = 1
+    ka_blk = ka
+    while ka_blk * lanes > _EXPAND_TILE_ELEMS and ka_blk % 2 == 0:
+        ka_blk //= 2
+        ka_blocks *= 2
+    grid = (pl.cdiv(m, L),) if ka_blocks == 1 else \
+        (pl.cdiv(m, L), ka_blocks)
+    if ka_blocks == 1:
+        gspec = pl.BlockSpec((ka, L, lanes), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+        avspec = pl.BlockSpec((ka, L), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        colt = lambda h: pl.BlockSpec(  # noqa: E731
+            (h, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+        row_tile = lambda w: pl.BlockSpec(  # noqa: E731
+            (L, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    else:
+        gspec = pl.BlockSpec((ka_blk, L, lanes), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM)
+        avspec = pl.BlockSpec((ka_blk, L), lambda i, j: (j, i),
+                              memory_space=pltpu.VMEM)
+        colt = lambda h: pl.BlockSpec(  # noqa: E731
+            (h, L), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        row_tile = lambda w: pl.BlockSpec(  # noqa: E731
+            (L, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    if width <= FUSED_MAX_WIDTH and ka_blocks == 1:
         col_t, val_t, nnz = pl.pallas_call(
             functools.partial(_expand_sort_compress_kernel_t, ka=ka,
                               run=run, width=width, start_kk=start_kk,
@@ -824,8 +924,8 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
             out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
                        jax.ShapeDtypeStruct((out_w, m), jnp.float32),
                        jax.ShapeDtypeStruct((m, 1), jnp.int32)),
-            scratch_shapes=[pltpu.VMEM((width, _TILE_LANES), jnp.int32),
-                            pltpu.VMEM((width, _TILE_LANES), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((width, L), jnp.int32),
+                            pltpu.VMEM((width, L), jnp.float32)],
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=_FUSED_VMEM_LIMIT),
             interpret=interpret,
@@ -834,7 +934,8 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
     k_s, v_s = pl.pallas_call(
         functools.partial(_expand_sort_kernel_t, ka=ka, run=run,
                           width=width, start_kk=start_kk,
-                          static_strides=static_strides),
+                          static_strides=static_strides,
+                          ka_blocks=ka_blocks),
         grid=grid,
         in_specs=[gspec, avspec],
         out_specs=(colt(width), colt(width)),
@@ -844,109 +945,466 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
             vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=interpret,
     )(g, avT)
+    c1 = lambda h: pl.BlockSpec(  # noqa: E731
+        (h, L), lambda i: (0, i), memory_space=pltpu.VMEM)
     col_t, val_t, nnz = pl.pallas_call(
         functools.partial(_compress_kernel_t, width=width,
                           static_strides=static_strides,
                           transpose_out=False, out_width=out_w),
-        grid=grid,
-        in_specs=[colt(width), colt(width)],
-        out_specs=(colt(out_w), colt(out_w), row_tile(1)),
+        grid=(pl.cdiv(m, L),),
+        in_specs=[c1(width), c1(width)],
+        out_specs=(c1(out_w), c1(out_w),
+                   pl.BlockSpec((L, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
                    jax.ShapeDtypeStruct((out_w, m), jnp.float32),
                    jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=interpret,
     )(k_s, v_s)
     return col_t.T, val_t.T, nnz
 
 
-def bucketed_viable(row_lens: np.ndarray, kb: int,
-                    value_bytes: int = 4) -> bool:
-    """Probe: can the row-bucketed kernel handle rows with these lengths?
+def multiclass_viable(row_lens: np.ndarray, kb: int,
+                      value_bytes: int = 4) -> bool:
+    """Probe: can the width-class kernel handle rows with these lengths?
     Only each row's OWN products must fit the lane budget, and the summed
-    class buffers must fit the product budget."""
-    run = max(1, _next_pow2(kb))
-    lens = np.maximum(np.asarray(row_lens, dtype=np.int64), 1)
-    widths = np.maximum(128, np.vectorize(_next_pow2)(lens * run))
-    if widths.max(initial=128) > MAX_WIDTH:
-        return False
-    return int(widths.sum()) * 2 * value_bytes <= PRODUCT_BUDGET_BYTES
+    per-class buffers must fit the product budget. (Succeeds on skewed
+    matrices whose flat plan is rejected — the class widths follow each
+    row, not the global max.)"""
+    plan, _ = plan_multiclass(row_lens, kb, value_bytes=value_bytes)
+    return plan.viable
 
 
-def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
-                            interpret: bool | None = None) -> ELL | None:
-    """Row-bucketed bitonic SpGEMM: group A's rows by product width class
-    and run one kernel per class.
+# back-compat alias (the round-1 bucketed path is retired; the harness
+# probe keeps working against the multiclass planner)
+bucketed_viable = multiclass_viable
 
-    A single global width pads every row to the LONGEST row's products
-    (the reference pays the same tax in its ELL kernel's K,
-    ell/common_ell.h:117-133); with skewed row lengths most lanes are
-    sentinels. Bucketing rows into pow2 width classes cuts both the expand
-    gather (indices ~ sum of class ka) and the sort work (~ sum of
-    count*width), and extends viability: only rows whose own products
-    exceed MAX_WIDTH reject the plan, not the global max.
 
-    Returns None when any class is non-viable (caller falls back to ESC).
-    Row counts per class are bucketed to pow2 so recompiles stay bounded.
-    """
+@dataclasses.dataclass(frozen=True)
+class MultiClassPlan:
+    run: int
+    chunks: int       # chunked mode: global sub-runs per B row; ragged: 0
+    widths: tuple     # ascending per-class product widths
+    viable: bool
+    ragged: bool = False
+    reason: str = ""
+
+
+@functools.partial(jax.jit, static_argnames=("run",))
+def _frag_rows_dev(a_col, b_len, *, run: int):
+    """Per-row ragged fragment totals, computed ON DEVICE — the planner
+    evaluates this per run candidate and the (m, K) host reduction
+    measured ~30 s/candidate on this box's CPU."""
+    lens = b_len[jnp.clip(a_col, 0, b_len.shape[0] - 1)]
+    fe = jnp.where(a_col >= 0,
+                   jnp.maximum(-(-jnp.maximum(lens, 0) // run), 1), 0)
+    return jnp.sum(fe, axis=1, dtype=jnp.int32)
+
+
+def _entry_blens(a_col_h, b_len_h):
+    """Per-entry B-row lengths (0 for padding slots) — computed ONCE and
+    reused across the planner's run candidates (the fancy-indexed gather
+    over (m, K) dominates planning cost on skewed inputs)."""
+    lens = b_len_h[np.clip(a_col_h, 0, len(b_len_h) - 1)].astype(np.int32)
+    return np.where(a_col_h >= 0, lens, -1)
+
+
+def _frags_from_blens(len_e, run: int):
+    """(per-entry frag counts, per-row totals) for a sub-run length:
+    each stored A entry contributes ceil(len_B/run) fragments (empty-B-row
+    entries still occupy one fragment slot so padding stays uniform)."""
+    frag_e = np.where(len_e >= 0,
+                      np.maximum(-(-np.maximum(len_e, 0) // run), 1), 0)
+    return frag_e, frag_e.sum(axis=1, dtype=np.int64)
+
+
+def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
+                    value_bytes: int = 4, a_col_h=None, b_len_h=None,
+                    a_col_dev=None, b_len_dev=None):
+    """Plan per-row width classes: each row's products pad to ITS OWN
+    pow2 width (the reference's ELL kernel pays the global-K tax instead,
+    ell/common_ell.h:117-133).
+
+    Two layouts compete per sub-run length:
+    - chunked: every entry fetches chunks=ceil(kb/run) sub-runs — simple,
+      but every entry pays for B's LONGEST row;
+    - ragged (needs a_col_h + b_len_h): each entry fetches only its own
+      B row's ceil(len/run) fragments via a host-built fragment index
+      list — the layout that keeps B-skewed matrices (rare huge rows
+      among short ones) viable.
+
+    Returns (MultiClassPlan, per-row width array)."""
+    lens = np.asarray(row_lens, dtype=np.int64)
+    full_run = max(1, _next_pow2(kb))
+    use_dev = a_col_dev is not None and b_len_dev is not None
+    ragged_ok = use_dev or (a_col_h is not None and b_len_h is not None)
+    len_e = (_entry_blens(a_col_h, b_len_h)
+             if not use_dev and ragged_ok else None)
+
+    def feasible(W):
+        return (int(W.max(initial=128)) <= MAX_WIDTH
+                and int(W.sum()) * 2 * value_bytes <= PRODUCT_BUDGET_BYTES)
+
+    best = None      # cheapest FEASIBLE candidate
+    fallback = None  # cheapest candidate overall (for the error message)
+    run0 = full_run
+    while True:
+        chunks = -(-max(kb, 1) // run0) if kb else 1
+        W = np.maximum(128, _next_pow2_arr(
+            np.maximum(lens, 1) * chunks * run0))
+        cand = ((int(W.sum()), -run0), run0, chunks, W, False)
+        if fallback is None or cand[0] < fallback[0]:
+            fallback = cand
+        if feasible(W) and (best is None or cand[0] < best[0]):
+            best = cand
+        if ragged_ok:
+            if use_dev:
+                F = np.asarray(_frag_rows_dev(a_col_dev, b_len_dev,
+                                              run=run0)).astype(np.int64)
+            else:
+                _, F = _frags_from_blens(len_e, run0)
+            Wr = np.maximum(128, _next_pow2_arr(np.maximum(F, 1) * run0))
+            # ragged pays a per-call fragment-table gather; prefer it only
+            # on a clear (2x) slot win
+            cand_r = ((int(Wr.sum()) * 2, -run0), run0, 0, Wr, True)
+            if feasible(Wr) and (best is None or cand_r[0] < best[0]):
+                best = cand_r
+        if run0 <= 4:
+            break
+        run0 //= 2
+    if best is None:
+        _, run, chunks, W, ragged = fallback
+        reason = (f"a row's products exceed {MAX_WIDTH} lanes"
+                  if int(W.max(initial=128)) > MAX_WIDTH
+                  else "summed class buffers exceed the product budget")
+        return (MultiClassPlan(run, chunks, (), False, ragged, reason), W)
+    _, run, chunks, W, ragged = best
+    classes = np.unique(W)
+    while len(classes) > max_classes:
+        # merge the class with the fewest rows into the next one up
+        counts = np.array([(W == w).sum() for w in classes[:-1]])
+        i = int(np.argmin(counts))
+        W[W == classes[i]] = classes[i + 1]
+        classes = np.unique(W)
+    return (MultiClassPlan(run, chunks, tuple(int(w) for w in classes),
+                           True, ragged), W)
+
+
+@functools.lru_cache(maxsize=64)
+def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
+                   chunks: int, out_w: int, m: int, interpret: bool,
+                   val_dtype, ragged: bool = False, cm: int = 1):
+    """Build + jit the whole multi-class pipeline ONCE per static
+    signature: one dispatch runs every class's expand + kernels and
+    reassembles rows (the round-1 bucketed path paid one dispatch and one
+    full-output scatter PER class).
+
+    ragged mode: per-class fragment index matrices M_c (rows x F_c, table
+    row ids incl. a sentinel) and a_val fragment maps replace the chunked
+    entry arithmetic; kas[c] is then F_c. cm = ceil(kb/run) (the fragment
+    grid of B)."""
+
+    def f(a_col, a_val, b_col, b_val, pos, *rest):
+        cols_p, vals_p, nnz_p = [], [], []
+        if ragged:
+            idxs = rest[:len(widths)]
+            mcs = rest[len(widths):2 * len(widths)]
+            ents = rest[2 * len(widths):3 * len(widths)]
+            # ragged fragment table: only NON-EMPTY fragments exist as
+            # rows (a full (k*cm) grid would materialize B's longest-row
+            # padding for every row). frag_src picks them out of the
+            # (k*cm, run) reshape of B's padded ELL.
+            frag_src = rest[3 * len(widths)]
+            k, kb = b_col.shape
+            bc_p = jnp.pad(b_col, ((0, 0), (0, cm * run - kb)),
+                           constant_values=-1).reshape(k * cm, run)
+            bv_p = jnp.pad(b_val, ((0, 0), (0, cm * run - kb))
+                           ).reshape(k * cm, run)
+            bvb = jax.lax.bitcast_convert_type(bv_p, jnp.int32)
+            packed = jnp.concatenate([bc_p, bvb], axis=1)  # (k*cm, 2run)
+            gt = packed[frag_src]                          # (F_B, 2run)
+            gc_t, gvb_t = gt[:, :run], gt[:, run:]
+            wide = jnp.concatenate(
+                [gc_t, gvb_t, jnp.flip(gc_t, axis=1),
+                 jnp.flip(gvb_t, axis=1)], axis=1)
+            if wide.shape[1] < 128:
+                wide = jnp.pad(wide, ((0, 0), (0, 128 - wide.shape[1])))
+            table = jnp.pad(wide, ((0, 1), (0, 0)), constant_values=-1)
+            kt = table.shape[0] - 1
+        else:
+            idxs = rest[:len(widths)]
+            table, kt = _build_wide_table(b_col, b_val, run=run,
+                                          chunks=chunks)
+        lanes = table.shape[1]
+        for c, w in enumerate(widths):
+            idx = idxs[c]
+            out_c = min(out_w, w)
+            start_kk = 2 * run
+            static = w <= _COLS_STATIC_MAX_WIDTH
+            if ragged:
+                # M_c holds per-fragment table rows (F_B = sentinel);
+                # ENT_c holds per-fragment A-entry ordinals
+                F_c = kas[c]
+                av_c = jnp.take(a_val, idx, axis=0)
+                av_f = jnp.take_along_axis(
+                    av_c, jnp.clip(ents[c], 0, av_c.shape[1] - 1), axis=1)
+                if w <= TRANSPOSED_MAX_WIDTH:
+                    g = table[mcs[c].T.reshape(-1)].reshape(
+                        F_c, counts[c], lanes)
+                    col_c, val_c, nnz_c = _sort_compress_from_gather(
+                        g, av_f.T, width=w, run=run, ka=F_c,
+                        start_kk=start_kk, interpret=interpret,
+                        static_strides=static, out_width=out_c)
+                else:
+                    # wide classes exceed cols-layout scoped VMEM (120 MB
+                    # at 16384); these classes hold few rows, so the
+                    # lane-misaligned XLA expand is cheap in absolute
+                    # terms and the rows-layout kernel takes over
+                    # FLAT indices + reshape: the 3-D-output gather
+                    # form measured ~50x slower on v5e
+                    g2 = table[mcs[c].reshape(-1)].reshape(
+                        counts[c], kas[c], lanes)
+                    par = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, F_c, 1), 1) & 1) == 1
+                    bc = jnp.where(par, g2[:, :, 2 * run:3 * run],
+                                   g2[:, :, :run])
+                    bvb = jnp.where(par, g2[:, :, 3 * run:4 * run],
+                                    g2[:, :, run:2 * run])
+                    bv = jax.lax.bitcast_convert_type(bvb, jnp.float32)
+                    valid = bc >= 0
+                    key = jnp.where(valid, bc, SENTINEL).reshape(
+                        counts[c], F_c * run)
+                    val = jnp.where(valid, av_f[:, :, None] * bv, 0.0
+                                    ).reshape(counts[c], F_c * run)
+                    pad = w - F_c * run
+                    if pad:
+                        key = jnp.pad(key, ((0, 0), (0, pad)),
+                                      constant_values=SENTINEL)
+                        val = jnp.pad(val, ((0, 0), (0, pad)))
+                    tile_rows = max(8, min(512, _TILE_ELEMS // w))
+                    col_c, val_c, nnz_r = _sort_compress_rows(
+                        key, val, width=w, start_kk=start_kk,
+                        tile_rows=tile_rows, interpret=interpret,
+                        static_strides=w <= STATIC_STRIDE_MAX_WIDTH)
+                    col_c = col_c[:, :out_c]
+                    val_c = val_c[:, :out_c]
+                    nnz_c = nnz_r
+            else:
+                ac = jnp.take(a_col, idx, axis=0)[:, :kas[c]]
+                av = jnp.take(a_val, idx, axis=0)[:, :kas[c]]
+                ka_e = kas[c] * chunks
+                if w <= TRANSPOSED_MAX_WIDTH and \
+                        ka_e * lanes <= _EXPAND_TILE_ELEMS and \
+                        val_dtype == jnp.float32:
+                    ac_e, av_e, ka_e = _chunk_entries(ac, av, chunks)
+                    rows = jnp.where(ac_e >= 0,
+                                     jnp.clip(ac_e, 0, kt - 1), kt)
+                    g = table[rows.T.reshape(-1)].reshape(
+                        ka_e, counts[c], lanes)
+                    col_c, val_c, nnz_c = _sort_compress_from_gather(
+                        g, av_e.T, width=w, run=run, ka=ka_e,
+                        start_kk=start_kk, interpret=interpret,
+                        static_strides=static, out_width=out_c)
+                elif w <= TRANSPOSED_MAX_WIDTH:
+                    key, val = _expand_ell(ac, av, b_col, b_val, width=w,
+                                           run=run, transpose_out=True,
+                                           chunks=chunks)
+                    col_c, val_c, nnz_c = _sort_compress_cols(
+                        key, val, width=w, start_kk=start_kk,
+                        interpret=interpret, static_strides=static,
+                        pre_transposed=True, out_width=out_c)
+                else:
+                    key, val = _expand_ell(ac, av, b_col, b_val, width=w,
+                                           run=run, transpose_out=False,
+                                           chunks=chunks)
+                    tile_rows = max(8, min(512, _TILE_ELEMS // w))
+                    col_c, val_c, nnz_r = _sort_compress_rows(
+                        key, val, width=w, start_kk=start_kk,
+                        tile_rows=tile_rows, interpret=interpret,
+                        static_strides=w <= STATIC_STRIDE_MAX_WIDTH)
+                    col_c = col_c[:, :out_c]
+                    val_c = val_c[:, :out_c]
+                    nnz_c = nnz_r
+            cols_p.append(col_c)
+            vals_p.append(val_c)
+            nnz_p.append(nnz_c)
+        # assemble per class with drop-mode row scatters at EACH CLASS'S
+        # OWN width (padding the updates to out_w materialized multi-GB
+        # temporaries on skewed outputs; a concatenate+take assembly
+        # doubles the final footprint)
+        col = jnp.full((m, out_w), -1, jnp.int32)
+        val = jnp.zeros((m, out_w), vals_p[0].dtype)
+        nnz = jnp.zeros((m,), jnp.int32)
+        for c in range(len(widths)):
+            oc = cols_p[c].shape[1]
+            col = col.at[idxs[c], :oc].set(cols_p[c], mode="drop")
+            val = val.at[idxs[c], :oc].set(vals_p[c], mode="drop")
+            nnz = nnz.at[idxs[c]].set(nnz_p[c][:, 0], mode="drop")
+        return col, val, nnz
+
+    return jax.jit(f)
+
+
+def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
+                       out_width: int | None = None,
+                       interpret: bool | None = None):
+    """Host-plan the width-class pipeline ONCE and return a zero-argument
+    callable that runs it (planning builds per-class index/fragment
+    matrices — O(nnz) host work worth amortizing across repeated calls,
+    like any format conversion). Returns None when not viable."""
+    return _multiclass_build(A, B, max_classes=max_classes,
+                             out_width=out_width, interpret=interpret)
+
+
+def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
+                              out_width: int | None = None,
+                              interpret: bool | None = None) -> ELL | None:
+    """C = A @ B with per-row width classes sharing ONE jitted dispatch.
+
+    A single global width pads every row to the LONGEST row's products;
+    classes cut both the expand and the sort to each row's own pow2 width
+    and extend viability to skewed matrices: A-skew through the classes,
+    B-skew through the RAGGED fragment layout (each entry fetches only
+    its own B row's ceil(len/run) sub-run fragments — the chunked layout
+    makes every entry pay for B's longest row). Replaces the round-1
+    spgemm_bitonic_bucketed (one python dispatch + full-output scatter
+    per class — a pessimization under any dispatch latency).
+
+    Returns None when not viable (caller falls back to ESC)."""
+    call = _multiclass_build(A, B, max_classes=max_classes,
+                             out_width=out_width, interpret=interpret)
+    return call() if call is not None else None
+
+
+def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
+                      out_width: int | None, interpret: bool | None):
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m = A.nrows
-    run = max(1, _next_pow2(B.max_nnz_per_row))
-    lens = np.asarray(A.nnz_row).astype(np.int64)
-    widths = np.maximum(128, np.vectorize(_next_pow2)(
-        np.maximum(lens, 1) * run))
-    classes = np.unique(widths)
-    if classes[-1] > MAX_WIDTH:
-        return None
-    while len(classes) > max_buckets:
-        # merge the class with the fewest rows into the next one up
-        counts = np.array([(widths == w).sum() for w in classes[:-1]])
-        i = int(np.argmin(counts))
-        widths[widths == classes[i]] = classes[i + 1]
-        classes = np.unique(widths)
+    lens = np.asarray(A.nnz_row, dtype=np.int64)
+    f32 = (A.values.dtype == jnp.float32
+           and B.values.dtype == jnp.float32)
+    plan, W = plan_multiclass(
+        lens, B.max_nnz_per_row, max_classes=max_classes,
+        a_col_dev=A.col_ind if f32 else None,
+        b_len_dev=B.nnz_row if f32 else None)
+    # the fragment-matrix build below needs the host copies only when the
+    # ragged layout actually won
+    a_col_h = np.asarray(A.col_ind) if f32 and plan.ragged else None
+    b_len_h = (np.asarray(B.nnz_row).astype(np.int64)
+               if f32 and plan.ragged else None)
+    if not plan.viable:
+        return None  # caller falls back to ESC
+    widths = plan.widths
+    run, chunks = plan.run, plan.chunks
+    out_w = int(widths[-1]) if out_width is None \
+        else min(int(out_width), int(widths[-1]))
 
-    out_w = int(classes[-1])
-    out_col = jnp.full((m, out_w), -1, jnp.int32)
-    out_val = jnp.zeros((m, out_w), A.values.dtype)
-    out_nnz = jnp.zeros((m,), jnp.int32)
-    from ia_spgemm_tpu import config as _cfg
-    for w in classes:
-        idx = np.nonzero(widths == w)[0]
-        ka_c = int(max(int(lens[idx].max()), 1))
-        n_pad = _cfg.bucket_capacity(len(idx))
-        idx_pad = np.pad(idx, (0, n_pad - len(idx)))  # repeats row idx[0]
-        idx_d = jnp.asarray(idx_pad.astype(np.int32))
-        a_col = jnp.take(A.col_ind[:, :ka_c], idx_d, axis=0)
-        a_val = jnp.take(A.values[:, :ka_c], idx_d, axis=0)
-        plan = plan_bitonic_dims(n_pad, ka_c, B.max_nnz_per_row,
-                                 allow_split=False)
-        if not plan.viable or plan.width > w:
-            # (plan.width <= w by construction; guard stays for safety)
-            return None
-        key, val = _expand_ell(a_col, a_val, B.col_ind, B.values,
-                               width=int(w), run=run)
-        col_c, val_c, nnz_c = _sort_compress_rows(
-            key, val, width=int(w), start_kk=2 * run,
-            tile_rows=max(8, min(512, _TILE_ELEMS // int(w))),
-            interpret=interpret,
-            static_strides=int(w) <= STATIC_STRIDE_MAX_WIDTH)
-        k = len(idx)
-        pad_cols = out_w - int(w)
-        if pad_cols:
-            col_c = jnp.pad(col_c, ((0, 0), (0, pad_cols)),
-                            constant_values=-1)
-            val_c = jnp.pad(val_c, ((0, 0), (0, pad_cols)))
-        out_col = out_col.at[jnp.asarray(idx.astype(np.int32))].set(
-            col_c[:k])
-        out_val = out_val.at[jnp.asarray(idx.astype(np.int32))].set(
-            val_c[:k])
-        out_nnz = out_nnz.at[jnp.asarray(idx.astype(np.int32))].set(
-            nnz_c[:k, 0])
-    return ELL(col_ind=out_col, values=out_val, nnz_row=out_nnz,
-               nnz=jnp.sum(out_nnz).astype(jnp.int32),
-               shape=(A.nrows, B.ncols))
+    idxs, kas, counts = [], [], []
+    pos = np.zeros(m, np.int64)
+    off = 0
+    extra = []
+    if plan.ragged:
+        cm = -(-max(B.max_nnz_per_row, 1) // run)
+        ka_in = a_col_h.shape[1]
+        len_e = _entry_blens(a_col_h, b_len_h)
+        frag_e, F_rows = _frags_from_blens(len_e, run)
+        # non-empty fragment rows of the (k*cm, run) grid of B, plus a
+        # sentinel row appended by the jitted builder
+        b_frag_cnt = np.maximum(-(-np.maximum(b_len_h, 0) // run),
+                                1).astype(np.int64)
+        startp = np.concatenate([[0], np.cumsum(b_frag_cnt)])
+        F_B = int(startp[-1])
+        js = np.repeat(np.arange(len(b_frag_cnt)), b_frag_cnt)
+        within_b = np.arange(F_B) - np.repeat(startp[:-1], b_frag_cnt)
+        frag_src = js * cm + within_b
+
+        # global fragment stream over A entries (vectorized — python
+        # loops over nnz measured ~30x too slow on this host):
+        fe_flat = frag_e.reshape(-1).astype(np.int64)
+        F_total = int(fe_flat.sum())
+        pref = np.cumsum(fe_flat) - fe_flat            # (m*ka,)
+        ent_rep = np.repeat(np.arange(m * ka_in, dtype=np.int64), fe_flat)
+        within = np.arange(F_total, dtype=np.int64) \
+            - np.repeat(pref, fe_flat)
+        rows_f = ent_rep // ka_in
+        e_f = (ent_rep % ka_in).astype(np.int64)
+        j_f = a_col_h.reshape(-1)[ent_rep].astype(np.int64)
+        live = (j_f >= 0) & (np.maximum(b_len_h, 0)[np.clip(
+            j_f, 0, len(b_len_h) - 1)] > 0)
+        mval_f = np.where(live, startp[np.clip(j_f, 0,
+                                               len(b_len_h) - 1)] + within,
+                          F_B)
+        # per-row fragment position: global prefix minus the row's base
+        row_base = pref.reshape(m, ka_in)[:, 0]
+        fpos_f = (pref[ent_rep] + within) - row_base[rows_f]
+
+        # per-class scatter of the fragment stream into (n_pad, F_c)
+        class_rank = np.zeros(m, np.int64)
+        mcs, ents = [], []
+        for w in widths:
+            idx = np.nonzero(W == w)[0]
+            n_pad = cfg.bucket_capacity(max(len(idx), 1))
+            F_c = max(1, w // run)
+            class_rank[idx] = np.arange(len(idx))
+            sel = np.isin(rows_f, idx) if len(widths) > 1 \
+                else np.ones(F_total, bool)
+            M = np.full((n_pad, F_c), F_B, np.int64)
+            E = np.zeros((n_pad, F_c), np.int64)
+            M[class_rank[rows_f[sel]], fpos_f[sel]] = mval_f[sel]
+            E[class_rank[rows_f[sel]], fpos_f[sel]] = e_f[sel]
+            pos[idx] = off + np.arange(len(idx))
+            off += n_pad
+            idxs.append(jnp.asarray(
+                np.pad(idx, (0, n_pad - len(idx)),
+                       constant_values=m).astype(np.int32)))
+            kas.append(int(F_c))
+            counts.append(int(n_pad))
+            mcs.append(jnp.asarray(M.astype(np.int32)))
+            ents.append(jnp.asarray(E.astype(np.int32)))
+        extra = mcs + ents + [jnp.asarray(frag_src.astype(np.int32))]
+        fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
+                            run, 0, out_w, m, interpret,
+                            jnp.dtype(A.values.dtype), True, cm)
+    else:
+        per_entry = chunks * run
+        for w in widths:
+            idx = np.nonzero(W == w)[0]
+            n_pad = cfg.bucket_capacity(max(len(idx), 1))
+            ka_c = max(1, min(A.col_ind.shape[1], w // per_entry))
+            pos[idx] = off + np.arange(len(idx))
+            off += n_pad
+            idxs.append(jnp.asarray(
+                np.pad(idx, (0, n_pad - len(idx)),
+                       constant_values=m).astype(np.int32)))
+            kas.append(int(ka_c))
+            counts.append(int(n_pad))
+        fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
+                            run, chunks, out_w, m, interpret,
+                            jnp.dtype(A.values.dtype))
+    pos_d = jnp.asarray(pos.astype(np.int32))
+    shape = (A.nrows, B.ncols)
+
+    def call() -> ELL:
+        col, val, nnz_row = fn(A.col_ind, A.values, B.col_ind, B.values,
+                               pos_d, *idxs, *extra)
+        return ELL(col_ind=col, values=val, nnz_row=nnz_row,
+                   nnz=jnp.sum(nnz_row).astype(jnp.int32), shape=shape)
+
+    return call
+
+
+# retired round-1 API: the bucketed kernel (one dispatch per class) is
+# superseded by the single-dispatch multiclass path
+def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
+                            interpret: bool | None = None) -> ELL | None:
+    return spgemm_bitonic_multiclass(A, B, max_classes=max_buckets,
+                                     interpret=interpret)
+
 
 
 # the (width, 128) transposed tiles hold ~10 live arrays; widths past this

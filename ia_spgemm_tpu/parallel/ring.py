@@ -142,7 +142,8 @@ def plan_ring(A: ELL, B: ELL, num_shards: int,
 
 def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
                 plan: bitonic.BitonicPlan,
-                interpret: bool | None = None) -> ShardedELL:
+                interpret: bool | None = None,
+                use_rdma="auto") -> ShardedELL:
     """C = A @ B, A and C row-sharded, B streamed around the ring.
 
     B may be partitioned with any balance: each chip builds the inverse
@@ -155,10 +156,13 @@ def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
         interpret = jax.default_backend() != "tpu"
     m, _ = A.shape
     n = B.shape[1]
+    if use_rdma == "auto":
+        from ia_spgemm_tpu.parallel.rdma_ring import rdma_available
+        use_rdma = rdma_available(mesh)
     fn = _ring_fn(mesh, A.num_shards, A.rows_per_shard, B.rows_per_shard,
                   A.width, B.width, jnp.dtype(A.values.dtype),
                   plan.run, plan.width, plan.tile_rows, interpret,
-                  plan.chunks, B.contiguous)
+                  plan.chunks, B.contiguous, bool(use_rdma))
     col, val, nnz_row = fn(A.col_ind, A.values, B.col_ind, B.values,
                            B.row_map)
     return ShardedELL(col_ind=col, values=val, nnz_row=nnz_row,
@@ -169,7 +173,8 @@ def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
 @functools.lru_cache(maxsize=64)
 def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
              dtype, run: int, width: int, tile_rows: int, interpret: bool,
-             chunks: int = 1, b_contiguous: bool = True):
+             chunks: int = 1, b_contiguous: bool = True,
+             use_rdma: bool = False):
     """Build + jit the sharded ring program once per (mesh, shapes) —
     rebuilding shard_map per call retraces and recompiles every time."""
     from jax import shard_map
@@ -260,10 +265,16 @@ def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
             key = jnp.where(in_blk[:, :, None],
                             jnp.where(sel, gc, bitonic.SENTINEL), key)
             val = jnp.where(sel, a_val_e[:, :, None] * gv, val)
-            # send the block on while the gather above computes (async
-            # collective-permute over ICI)
-            bc = jax.lax.ppermute(bc, axis, perm)
-            bv = jax.lax.ppermute(bv, axis, perm)
+            # send the block on while the gather above computes: either
+            # XLA's async collective-permute or the explicit Pallas RDMA
+            # hop (parallel/rdma_ring.py; real multi-chip ICI only)
+            if use_rdma:
+                from ia_spgemm_tpu.parallel.rdma_ring import ring_hop_rdma
+                bc = ring_hop_rdma(bc, axis=axis, D=D, collective_id=11)
+                bv = ring_hop_rdma(bv, axis=axis, D=D, collective_id=12)
+            else:
+                bc = jax.lax.ppermute(bc, axis, perm)
+                bv = jax.lax.ppermute(bv, axis, perm)
             return bc, bv, key, val
 
         _, _, key, val = jax.lax.fori_loop(

@@ -108,6 +108,56 @@ def headline_rooflines():
         cost = roofline.cost_dia(A.nrows, nd, nd, 2 * nd)
         out["dia"] = roofline.analyze(r["median_ms"], cost)
 
+    # heavy-skew workload (the matrices that used to fall off the fast
+    # path): a few 2000-nnz rows among 5-nnz rows — the FLAT bitonic plan
+    # is inviable, the width-class kernel keeps each row at its own pow2
+    # width. Reported vs scipy (the vendor-baseline role).
+    import time as _time
+
+    import scipy.sparse as sp
+    rng = np.random.default_rng(3)
+    m_s = 32768
+    lens = np.where(rng.random(m_s) < 0.002, 400,
+                    rng.integers(8, 24, m_s))
+    rows = np.repeat(np.arange(m_s), lens)
+    cols = rng.integers(0, m_s, rows.shape[0])
+    a_skew = sp.coo_matrix(
+        (rng.standard_normal(rows.shape[0]).astype(np.float32),
+         (rows, cols)), shape=(m_s, m_s)).tocsr()
+    a_skew.sum_duplicates()
+    A_skew = CSR.from_scipy(a_skew)
+    A_skew_ell = convert.csr_to_ell(A_skew, check_guard=False)
+    assert not bitonic.plan_bitonic(A_skew_ell, A_skew_ell).viable
+    t0 = _time.perf_counter()
+    call0 = bitonic.multiclass_planned(A_skew_ell, A_skew_ell)
+    plan_s = _time.perf_counter() - t0
+    C_skew = jax.block_until_ready(call0())
+    t0 = _time.perf_counter()
+    c_ref = a_skew @ a_skew
+    scipy_skew_ms = (_time.perf_counter() - t0) * 1e3
+    rel = abs(float(C_skew.checksum()) - float(c_ref.sum())) / max(
+        1.0, abs(float(c_ref.sum())))
+    mx = int(np.max(np.asarray(C_skew.nnz_row)))
+    ow = 128
+    while ow < mx:
+        ow *= 2
+    del C_skew
+    # steady state: planned once, output capped to the observed bound
+    call = bitonic.multiclass_planned(A_skew_ell, A_skew_ell,
+                                      out_width=ow)
+    r = profiling.time_op(call, iters=3)
+    dev = profiling.device_time_ms(call, chain=2)
+    out["multiclass_skew"] = {
+        "wall_ms": r["median_ms"],
+        "device_ms": dev["device_ms"],
+        "plan_seconds": round(plan_s, 1),
+        "scipy_ms": scipy_skew_ms,
+        "speedup_vs_scipy": scipy_skew_ms / r["median_ms"],
+        "checksum_rel_err": rel,
+        "nnz": int(A_skew.nnz),
+        "flat_plan_viable": False,
+    }
+
     jax.block_until_ready(C.values)
     return out
 

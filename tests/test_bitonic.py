@@ -216,3 +216,62 @@ def test_bitonic_out_width_cap():
                           np.asarray(full.col_ind)[:, :w])
     assert np.allclose(np.asarray(capped.values),
                        np.asarray(full.values)[:, :w])
+
+
+def test_multiclass_matches_oracle_skewed():
+    """Width-class kernel on a skewed matrix (some heavy rows) — the flat
+    plan pads everything to the heavy rows' width; classes keep each row
+    at its own pow2 width and must agree with the oracle."""
+    rng = np.random.default_rng(11)
+    m = 200
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        ln = 40 if r % 37 == 0 else int(rng.integers(1, 6))
+        cs = rng.choice(m, size=ln, replace=False)
+        for c in cs:
+            rows.append(r)
+            cols.append(int(c))
+            vals.append(float(rng.standard_normal()))
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    A = _ell(a)
+    C = bitonic.spgemm_bitonic_multiclass(A, A)
+    assert C is not None
+    plan, W = bitonic.plan_multiclass(np.asarray(A.nnz_row),
+                                      A.max_nnz_per_row)
+    assert len(plan.widths) > 1  # the skew actually created classes
+    _check(a, a, C)
+
+
+def test_multiclass_empty_and_uniform():
+    a = fixtures.random_csr(64, 64, density=0.05, seed=12)
+    A = _ell(a.astype(np.float64))  # non-f32 path per class
+    C = bitonic.spgemm_bitonic_multiclass(A, A)
+    assert C is not None
+    _check(a, a, C)
+
+
+def test_multiclass_ragged_b_skew():
+    """B-skew: a few huge B rows among tiny ones. The chunked layout makes
+    every entry pay for B's longest row (inviable here); the ragged
+    fragment layout keeps each entry at its own B row's size."""
+    rng = np.random.default_rng(13)
+    m = 256
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        ln = 160 if r % 64 == 0 else int(rng.integers(1, 5))
+        cs = rng.choice(m, size=ln, replace=False)
+        for c in cs:
+            rows.append(r)
+            cols.append(int(c))
+            vals.append(float(rng.standard_normal()))
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    A = _ell(a)
+    plan, W = bitonic.plan_multiclass(
+        np.asarray(A.nnz_row), A.max_nnz_per_row,
+        a_col_h=np.asarray(A.col_ind),
+        b_len_h=np.asarray(A.nnz_row).astype(np.int64))
+    assert plan.viable
+    assert plan.ragged
+    C = bitonic.spgemm_bitonic_multiclass(A, A)
+    assert C is not None
+    _check(a, a, C)

@@ -2,6 +2,7 @@
 parity with the scipy oracle, uneven row counts, rectangular shapes."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -132,3 +133,28 @@ def test_ring_subrun_split(mesh):
     want = (a @ a).tocsr().astype(np.float32)
     d = abs(got - want)
     assert (d.max() if d.nnz else 0.0) < 2e-4
+
+
+def test_rdma_ring_kernel_traces(mesh):
+    """The explicit RDMA hop kernel (parallel/rdma_ring.py) must trace and
+    lower end-to-end inside the sharded ring program — execution needs
+    real multi-chip ICI (interpret-mode remote DMA measured unreliable),
+    so this pins the control flow + shapes, and use_rdma='auto' keeps
+    ppermute everywhere else."""
+    a = fixtures.random_csr(64, 64, density=0.08, seed=70)
+    A = _ell(a)
+    As = ring.partition_rows_ell(A, 8, mesh=mesh)
+    Bs = ring.partition_rows_ell(A, 8, mesh=mesh)
+    plan = ring.plan_ring(A, A, 8)
+    fn = ring._ring_fn(mesh, 8, As.rows_per_shard, Bs.rows_per_shard,
+                       As.width, Bs.width, jnp.dtype(As.values.dtype),
+                       plan.run, plan.width, plan.tile_rows, True,
+                       plan.chunks, True, True)
+    jaxpr = jax.make_jaxpr(fn)(As.col_ind, As.values, Bs.col_ind,
+                               Bs.values, Bs.row_map)
+    text = str(jaxpr)
+    # the RDMA hops appear as pallas_call primitives inside the ring loop
+    assert "pallas_call" in text
+
+    from ia_spgemm_tpu.parallel.rdma_ring import rdma_available
+    assert rdma_available(mesh) is False  # CPU mesh -> ppermute path
