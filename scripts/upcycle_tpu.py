@@ -98,6 +98,61 @@ def corpus(quick: bool):
                 yield (f"heavyskew_{m}_{seed}",
                        g.gen_powerlaw(m, mean_nnz=64, alpha=1.1, seed=seed),
                        None)
+        # --- v5 (round 2): class coverage for dia/csr + scale ---
+        # scattered-diagonal families (DIA-algebra territory): varied
+        # diagonal counts, offsets and sizes
+        for m in (4096, 8192, 16384):
+            for seed in (2, 3, 4, 5):
+                rng = np.random.default_rng(100 + seed)
+                nd = 7 + 4 * seed
+                offs = sorted(set(
+                    [0] + list(rng.integers(-m // 4, m // 4, nd))))
+                diags = [rng.standard_normal(m) for _ in offs]
+                yield (f"scatdiag5_{m}_{seed}",
+                       sp.diags(diags, offs, shape=(m, m)).tocsr(), None)
+        # huge-row skew beyond the width-class lane budget: the ESC
+        # (csr/coo) engines are the only viable path
+        for m in (8192, 16384):
+            for seed in (0, 1, 2):
+                rng = np.random.default_rng(200 + seed)
+                lens = rng.integers(2, 10, m)
+                lens[rng.integers(0, m, 3)] = 6000
+                rows = np.repeat(np.arange(m), lens)
+                cols = rng.integers(0, m, rows.shape[0])
+                yield (f"hugerow_{m}_{seed}", sp.coo_matrix(
+                    (rng.standard_normal(rows.shape[0]), (rows, cols)),
+                    shape=(m, m)).tocsr(), None)
+        # large-expansion uniforms (bitonic product-budget territory)
+        for m in (32768, 65536):
+            for seed in (0, 1):
+                yield (f"largeE_{m}_{seed}",
+                       g.gen_uniform(m, nnz_per_row=40 + 16 * seed,
+                                     seed=seed), None)
+        # moderate B-skew pairs (ragged-fragment territory)
+        for m in (8192, 16384):
+            for seed in (0, 1):
+                rng = np.random.default_rng(300 + seed)
+                lens = np.where(rng.random(m) < 0.004, 300,
+                                rng.integers(4, 16, m))
+                rows = np.repeat(np.arange(m), lens)
+                cols = rng.integers(0, m, rows.shape[0])
+                yield (f"bskew_{m}_{seed}", sp.coo_matrix(
+                    (rng.standard_normal(rows.shape[0]), (rows, cols)),
+                    shape=(m, m)).tocsr(), None)
+        # extra seeds of the structure suite
+        for m in sizes:
+            for name, a in suitesparse.synthetic_suite(m=m,
+                                                       seeds=(9, 10, 11)):
+                yield name, a, None
+        # dia-favoring pairs: band x scattered diagonals
+        for m in (4096, 8192):
+            for seed in (0, 1):
+                rng = np.random.default_rng(400 + seed)
+                offs = sorted(set([0] + list(rng.integers(-64, 64, 8))))
+                diags = [rng.standard_normal(m) for _ in offs]
+                yield (f"pair_band_scat_{m}_{seed}",
+                       g.gen_banded(m, 3 + seed, seed),
+                       sp.diags(diags, offs, shape=(m, m)).tocsr())
     # the 9 reference fixture matrices (tiny; exercise symmetric/pattern)
     for name, path in sorted(suitesparse.local_collection().items()):
         try:
@@ -155,14 +210,19 @@ def main():
         samples, menu=MENU, init_from="Intel", steps=steps, batch_size=16)
     acc = upcycle.evaluate_pick_accuracy(params, samples, menu=MENU)
     weights.save_params_npz("weights/TPU_upcycled.npz", params, menu=MENU)
+    kfold_acc, kfold_folds, majority = upcycle.stratified_kfold_accuracy(
+        samples, menu=MENU, k=3 if quick else 5,
+        steps=steps if not quick else 60)
 
     report = {
         "menu": list(MENU),
         "n_samples": len(samples),
         "class_counts": counts,
+        "min_class_count": min(counts.values()),
         "pick_accuracy_in_sample": round(acc, 4),
-        "majority_baseline": round(max(counts.values())
-                                   / max(len(samples), 1), 4),
+        "kfold_accuracy": round(kfold_acc, 4),
+        "kfold_per_fold": kfold_folds,
+        "majority_baseline": round(majority, 4),
         "train_steps": steps,
         "harvest_seconds": round(time.time() - t_start, 1),
     }
