@@ -275,3 +275,26 @@ def test_multiclass_ragged_b_skew():
     C = bitonic.spgemm_bitonic_multiclass(A, A)
     assert C is not None
     _check(a, a, C)
+
+
+def test_bitonic_sparse_output_mode():
+    """compact=False: survivors at sorted slots with -1 holes; nnz and
+    values agree exactly with the compacted result."""
+    rng = np.random.default_rng(19)
+    a = sp.random(96, 96, density=0.08,
+                  random_state=np.random.RandomState(19), format="csr")
+    a.data[:] = rng.standard_normal(a.nnz)
+    A = _ell(a)
+    dense_c = bitonic.spgemm_bitonic(A, A)
+    sparse_c = bitonic.spgemm_bitonic(A, A, compact=False)
+    assert np.array_equal(np.asarray(dense_c.nnz_row),
+                          np.asarray(sparse_c.nnz_row))
+    want = (a @ a).tocsr().astype(np.float32)
+    got = sparse_c.to_scipy()
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) < 1e-4
+    # survivors sit at sorted-slot positions: each row's populated slots
+    # are a (possibly holey) suffix-free layout whose per-row count still
+    # matches nnz_row
+    col = np.asarray(sparse_c.col_ind)
+    assert ((col >= 0).sum(axis=1) == np.asarray(sparse_c.nnz_row)).all()

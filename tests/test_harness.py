@@ -129,3 +129,37 @@ def test_profiling_time_op():
     import jax.numpy as jnp
     r = profiling.time_op(lambda x: x + 1, jnp.zeros(16), iters=2)
     assert r["median_ms"] >= 0 and r["iters"] == 2
+
+
+def test_harness_bitonic_ragged_bskew():
+    """A B-skewed matrix (flat + chunked class plans inviable) must still
+    run the bitonic algorithm through the ragged-fragment probe, not be
+    skipped."""
+    import numpy as np
+    import scipy.sparse as sp
+    rng = np.random.default_rng(17)
+    m = 512
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        ln = 400 if r % 128 == 0 else int(rng.integers(1, 4))
+        cs = rng.choice(m, size=ln, replace=False)
+        for c in cs:
+            rows.append(r)
+            cols.append(int(c))
+            vals.append(float(rng.standard_normal()))
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    A = CSR.from_scipy(a.astype(np.float32))
+    from ia_spgemm_tpu.formats import convert as _conv
+    from ia_spgemm_tpu.ops import bitonic as bt
+    assert not bt.plan_bitonic_dims(
+        m, int(np.diff(np.asarray(A.row_ptr)).max()),
+        _conv.plan_ell_width(A)).viable
+    from ia_spgemm_tpu import config as _cfg
+    slow_ok = _cfg.SpGEMMConfig(timeout_scale=1e6)  # interpret mode crawls
+    rep = harness.run_benchmark(A, A, ("baseline", "bitonic"), iters=1,
+                                config=slow_ok)
+    r = rep.by_name("bitonic")
+    assert not r.skipped and r.ok, (r.skipped, r.error, r.timed_out)
+    base = rep.by_name("baseline")
+    assert abs(r.verified_sum - base.verified_sum) <= 1e-4 * max(
+        1.0, abs(base.verified_sum))

@@ -45,3 +45,30 @@ def test_hash_budget_guard():
                            check_guard=False)
     with pytest.raises(ValueError, match="SMEM"):
         hash_spgemm.spgemm_hash(A, A)
+
+
+def test_hash_viable_headline_scale():
+    """Round-2 viability requirement: m = 32768 operands (B streamed from
+    HBM by DMA; only the hash tables live in SMEM). Heavy on the scalar
+    core, so gated to the real chip."""
+    import os
+    import pytest
+    if os.environ.get("IA_SPGEMM_TEST_TPU") != "1":
+        pytest.skip("scalar-probing at m=32768 needs the real chip")
+    import numpy as np
+    import scipy.sparse as sp
+    from ia_spgemm_tpu.formats import convert
+    from ia_spgemm_tpu.formats.types import CSR
+    rng = np.random.RandomState(5)
+    m = 32768
+    a = sp.random(m, m, density=4.0 / m, random_state=rng,
+                  dtype=np.float64, format="csr")
+    a.sum_duplicates()
+    A = convert.csr_to_ell(CSR.from_scipy(a.astype(np.float32)),
+                           check_guard=False)
+    C = hash_spgemm.spgemm_hash(A, A)
+    want = (a @ a).tocsr()
+    import jax.numpy as jnp
+    got = float(jnp.sum(C.values))
+    assert abs(got - want.sum()) / max(1.0, abs(want.sum())) < 1e-4
+    assert int(C.nnz) == want.nnz
