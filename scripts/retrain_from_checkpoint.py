@@ -1,0 +1,58 @@
+"""Retrain + evaluate the selector from a saved harvest checkpoint,
+without touching the TPU (MatNet is small enough to train on CPU in
+minutes) — lets training run while the chip harvests or benchmarks.
+
+Usage: python scripts/retrain_from_checkpoint.py [samples.npz]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+MENU = ("csr", "dia", "ell", "coo", "bitonic")
+
+
+def main():
+    from ia_spgemm_tpu.models import upcycle, weights
+
+    path = sys.argv[1] if len(sys.argv) > 1 else "weights/tpu_samples.npz"
+    samples = upcycle.load_samples(path)
+    counts = {algo: sum(1 for s in samples if s.winner == algo)
+              for algo in MENU}
+    print(f"{len(samples)} samples {counts}", flush=True)
+
+    params, _, _ = upcycle.upcycle(samples, menu=MENU, init_from="Intel",
+                                   steps=400, batch_size=16)
+    acc = upcycle.evaluate_pick_accuracy(params, samples, menu=MENU)
+    weights.save_params_npz("weights/TPU_upcycled.npz", params, menu=MENU)
+    print(f"in-sample accuracy {acc:.4f}", flush=True)
+
+    kfold_acc, folds, majority = upcycle.stratified_kfold_accuracy(
+        samples, menu=MENU, k=5, steps=400)
+    report = {
+        "menu": list(MENU),
+        "n_samples": len(samples),
+        "class_counts": counts,
+        "min_class_count": min(counts.values()),
+        "pick_accuracy_in_sample": round(acc, 4),
+        "kfold_accuracy": round(kfold_acc, 4),
+        "kfold_per_fold": folds,
+        "majority_baseline": round(majority, 4),
+        "train_steps": 400,
+    }
+    with open("weights/upcycle_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()

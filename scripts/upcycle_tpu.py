@@ -153,6 +153,23 @@ def corpus(quick: bool):
                 yield (f"pair_band_scat_{m}_{seed}",
                        g.gen_banded(m, 3 + seed, seed),
                        sp.diags(diags, offs, shape=(m, m)).tocsr())
+        # --- v5b: dense wide bands (dia-algebra's home turf: nd^2 FMAs
+        # per row vs a pow2(nd * run)-wide sort) + extra huge-row cases
+        for m in (4096, 8192, 16384):
+            for bw in (32, 48):
+                for seed in (0, 1):
+                    yield (f"denseband_{m}_{bw}_{seed}",
+                           g.gen_banded(m, bandwidth=bw, seed=seed), None)
+        for m in (8192, 16384):
+            for seed in (3, 4):
+                rng = np.random.default_rng(200 + seed)
+                lens = rng.integers(2, 10, m)
+                lens[rng.integers(0, m, 3)] = 6000
+                rows = np.repeat(np.arange(m), lens)
+                cols = rng.integers(0, m, rows.shape[0])
+                yield (f"hugerow_{m}_{seed}", sp.coo_matrix(
+                    (rng.standard_normal(rows.shape[0]), (rows, cols)),
+                    shape=(m, m)).tocsr(), None)
     # the 9 reference fixture matrices (tiny; exercise symmetric/pattern)
     for name, path in sorted(suitesparse.local_collection().items()):
         try:
