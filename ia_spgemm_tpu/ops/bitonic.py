@@ -366,7 +366,8 @@ def _bitonic_sort_t(k, v, sub, width: int, start_kk: int,
 
 def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
                        *, width: int, static_strides: bool,
-                       transpose_out: bool, out_width: int | None = None):
+                       transpose_out: bool, out_width: int | None = None,
+                       compact: bool = True):
     """Compress phase on pre-sorted transposed tiles: segmented scan,
     rank, omega routing — split from the sort so each kernel's live-array
     set fits scoped VMEM with the static-stride (cheap sublane rotate)
@@ -378,12 +379,14 @@ def _compress_kernel_t(key_ref, val_ref, out_col_ref, out_val_ref, nnz_ref,
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
     _compress_body_t(key_ref[:], val_ref[:], sub, out_col_ref, out_val_ref,
                      nnz_ref, width=width, static_strides=static_strides,
-                     transpose_out=transpose_out, out_width=out_width)
+                     transpose_out=transpose_out, out_width=out_width,
+                     compact=compact)
 
 
 def _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
                      *, width: int, static_strides: bool,
-                     transpose_out: bool, out_width: int | None = None):
+                     transpose_out: bool, out_width: int | None = None,
+                     compact: bool = True):
     log_w = width.bit_length() - 1
 
     head = (sub == 0) | (k != pltpu.roll(k, 1, axis=0))
@@ -412,6 +415,24 @@ def _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
     emit = is_last & (k != SENTINEL)
     # nnz block is always row-major (L, 1) — a tiny in-VMEM transpose
     nnz_ref[:] = jnp.sum(emit.astype(jnp.int32), axis=0, keepdims=True).T
+
+    if not compact:
+        # sparse output: survivors stay at their sorted slots (holes are
+        # col == -1) — skips the rank + omega-route compaction (~20 of
+        # ~70 network stages). For consumers that reduce or mask
+        # (checksum, SpMV, feature extraction), left-justification is
+        # pure overhead; the reference's own ELL phase3 output is exactly
+        # this shape before its optional phase4 compaction
+        # (ell_dev/common_ell_dev.h:251-305).
+        col = jnp.where(emit, k, -1)
+        out_v = jnp.where(emit, s, jnp.zeros_like(s))
+        if transpose_out:
+            out_col_ref[:] = col.T
+            out_val_ref[:] = out_v.T
+        else:
+            out_col_ref[:] = col
+            out_val_ref[:] = out_v
+        return
 
     def rank_body(t, r):
         d = jnp.int32(1) << t if not static_strides else t
@@ -871,18 +892,20 @@ _COLS_STATIC_MAX_WIDTH = 1024
 @functools.partial(jax.jit,
                    static_argnames=("width", "run", "ka", "start_kk",
                                     "interpret", "static_strides",
-                                    "out_width"))
+                                    "out_width", "compact"))
 def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
                                start_kk: int, interpret: bool,
                                static_strides: bool = True,
-                               out_width: int | None = None):
+                               out_width: int | None = None,
+                               compact: bool = True):
     """Cols-layout pipeline fed by the e-major gather (g, avT): fused
     expand+sort (+compress when VMEM allows). Returns row-major
     (col (m, out_w), val (m, out_w), nnz (m, 1))."""
     static_strides = static_strides and not interpret
     m = avT.shape[1]
     lanes = g.shape[2]
-    out_w = width if out_width is None else min(out_width, width)
+    out_w = width if (out_width is None or not compact) \
+        else min(out_width, width)
     L = _TILE_LANES
     # wide (ragged) classes: split the entry dim over grid axis 1 so the
     # gather tile stays inside scoped VMEM (lane-dim tiles below 128 are
@@ -950,7 +973,8 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
     col_t, val_t, nnz = pl.pallas_call(
         functools.partial(_compress_kernel_t, width=width,
                           static_strides=static_strides,
-                          transpose_out=False, out_width=out_w),
+                          transpose_out=False, out_width=out_w,
+                          compact=compact),
         grid=(pl.cdiv(m, L),),
         in_specs=[c1(width), c1(width)],
         out_specs=(c1(out_w), c1(out_w),
@@ -1419,7 +1443,8 @@ FUSED_MAX_WIDTH = 256
 def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
                    interpret: bool | None = None,
                    layout: str = "auto",
-                   out_width: int | None = None) -> ELL:
+                   out_width: int | None = None,
+                   compact: bool = True) -> ELL:
     """C = A @ B via per-row VMEM bitonic sort-compress. Returns canonical
     left-justified ELL with ascending columns per row.
 
@@ -1435,7 +1460,13 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
     shorter than the product width. CONTRACT: the caller guarantees every
     output row's nnz fits (e.g. from a previous run's nnz_row, the
     steady-state shape in iterated benchmarks/solvers); surplus entries
-    are silently dropped, so verify max(nnz_row) <= out_width once."""
+    are silently dropped, so verify max(nnz_row) <= out_width once.
+
+    compact=False returns a SPARSE ELL: survivors stay at their sorted
+    slots with col == -1 holes between them (skipping the rank +
+    omega-route compaction, ~20 of ~70 network stages). nnz_row/nnz/
+    checksum/to_scipy all remain exact; left-justification only matters
+    to consumers that index by slot."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     if plan is None:
@@ -1461,7 +1492,7 @@ def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
             g, avT, width=plan.width, run=plan.run, ka=ka_eff,
             start_kk=2 * plan.run, interpret=interpret,
             static_strides=plan.width <= STATIC_STRIDE_MAX_WIDTH,
-            out_width=out_width)
+            out_width=out_width, compact=compact)
         nnz_row = nnz[:, 0]
     elif use_cols:
         key, val = _expand_ell(A.col_ind, A.values, B.col_ind, B.values,

@@ -1,17 +1,24 @@
-"""Pallas hash-accumulator SpGEMM.
+"""Pallas hash-accumulator SpGEMM (the NSPARSE class slot).
 
 Completes the accumulation-strategy taxonomy (SURVEY.md §2.3): the
 reference's COO kernel linear-probes the output row in place
 (coo/common_coo.h:124-159) and its CSR/ELL kernels chase per-thread linked
-lists; the TPU analogue keeps an open-addressing hash table per output row
-in SMEM (scalar memory — the only space allowing dynamic per-element
-addressing; VMEM requires lane-aligned vector access) and probes it with
+lists; the reference also NAMES an NSPARSE hash-class algorithm it never
+implements (main.cu:526,543-544). The TPU analogue keeps an
+open-addressing hash table per output row in SMEM (scalar memory — the
+only space allowing dynamic per-element addressing) and probes it with
 the classic multiply-shift hash + linear stride.
 
-Scope: a capability/correctness kernel for small-to-moderate operands
-(both operands' ELL tables must fit SMEM); the ESC path remains the
-performance default for large inputs. Output is ELL-like with hash-order
-slots: (col_ind, values) of width H plus per-row nnz.
+Round 2: B is STREAMED from HBM by double-buffered async DMA (aligned
+8-row groups of its packed ELL table), so only the per-tile hash tables
+occupy SMEM — m = 32768 operands are viable (round 1 required BOTH
+operands resident in SMEM, capping it at toy sizes).
+
+Perf note (measured, see NOTES.md): on VPU hardware a hash insert costs
+the same class of work as a sort-network routing step per element — the
+sort-based kernels (ops/bitonic.py) ARE this framework's production
+answer to the hash/NSPARSE class, and this kernel is the taxonomy's
+scalar-probing exhibit at full scale, not a speed record.
 """
 
 from __future__ import annotations
@@ -26,17 +33,19 @@ from jax.experimental.pallas import tpu as pltpu
 from ia_spgemm_tpu.formats.types import ELL
 
 DEFAULT_TILE_ROWS = 8
-# SMEM is scarce; keep B + tables well under ~512 KB.
+# SMEM budget for the per-tile hash tables (B no longer lives in SMEM).
 SMEM_BUDGET_BYTES = 256 * 1024
 
 _HASH_MULT = 2654435761 - 2**32  # Knuth multiplicative hash, as signed i32
 
 
-def _kernel(a_col_ref, a_val_ref, b_col_ref, b_val_ref,
-            out_col_ref, out_val_ref, out_nnz_ref):
+def _kernel(a_col_ref, a_val_ref, b_hbm_ref,
+            out_col_ref, out_val_ref, out_nnz_ref, bbuf, sem,
+            *, kb_pad: int):
     tile_rows, Ka = a_col_ref.shape
-    Kb = b_col_ref.shape[1]
     H = out_col_ref.shape[1]
+    k_groups = b_hbm_ref.shape[0] // 8
+    total = tile_rows * Ka
 
     # clear tables
     def clear(r, _):
@@ -49,83 +58,104 @@ def _kernel(a_col_ref, a_val_ref, b_col_ref, b_val_ref,
         return 0
     jax.lax.fori_loop(0, tile_rows, clear, 0)
 
-    def row_body(r, _):
-        def a_slot(ka, _):
-            # clamp: rows past m in the LAST grid tile carry garbage —
-            # an unclamped acol indexes B's SMEM table out of bounds
-            # (observed TPU runtime crash when tile_rows doesn't divide m)
-            acol = jnp.clip(a_col_ref[r, ka], -1,
-                            b_col_ref.shape[0] - 1)
-            aval = a_val_ref[r, ka]
+    def acol_at(idx):
+        r = idx // Ka
+        ka = idx - r * Ka
+        # clamp: rows past m in the LAST grid tile carry garbage
+        return r, jnp.clip(a_col_ref[r, ka], -1, b_hbm_ref.shape[0] - 1)
 
-            @pl.when(acol >= 0)
-            def _():
-                def b_slot(kb, _):
-                    j = b_col_ref[acol, kb]
-                    bv = b_val_ref[acol, kb]
+    def get_dma(slot, idx):
+        _, acol = acol_at(idx)
+        grp = jnp.clip(jnp.where(acol >= 0, acol, 0) // 8, 0,
+                       k_groups - 1).astype(jnp.int32)
+        # aligned 8-row group of the packed (col | val-bits) B table
+        return pltpu.make_async_copy(
+            b_hbm_ref.at[pl.ds(grp * 8, 8)], bbuf.at[slot], sem.at[slot])
 
-                    @pl.when(j >= 0)
-                    def _():
-                        v = aval * bv
-                        h0 = jax.lax.rem(
-                            (j * jnp.int32(_HASH_MULT)) & jnp.int32(2**31 - 1),
-                            jnp.int32(H))
+    get_dma(0, 0).start()
 
-                        # linear probe: stop at empty (-1) or matching slot
-                        def cond(state):
-                            h, done = state
-                            return ~done
+    def body(idx, _):
+        slot = jax.lax.rem(idx, 2)
+        nxt = jax.lax.rem(idx + 1, 2)
 
-                        def step(state):
-                            h, _ = state
-                            cur = out_col_ref[r, h]
-                            hit = (cur == j) | (cur == -1)
+        @pl.when(idx + 1 < total)
+        def _():
+            get_dma(nxt, idx + 1).start()
 
-                            def insert(h):
-                                out_col_ref[r, h] = j
+        get_dma(slot, idx).wait()
+        r, acol = acol_at(idx)
+        ka = idx - r * Ka
+        aval = a_val_ref[r, ka]
+        rr = jax.lax.rem(jnp.where(acol >= 0, acol, 0),
+                         jnp.asarray(8, acol.dtype))
 
-                                @pl.when(cur == -1)
-                                def _():
-                                    out_nnz_ref[r, 0] += 1
-                                out_val_ref[r, h] += v
+        @pl.when(acol >= 0)
+        def _():
+            def b_slot(kb, _):
+                j = bbuf[slot, rr, kb]
+                bv_bits = bbuf[slot, rr, kb_pad + kb]
 
-                            @pl.when(hit)
+                @pl.when(j >= 0)
+                def _():
+                    v = aval * jax.lax.bitcast_convert_type(
+                        bv_bits, jnp.float32)
+                    h0 = jax.lax.rem(
+                        (j * jnp.int32(_HASH_MULT)) & jnp.int32(2**31 - 1),
+                        jnp.int32(H))
+
+                    # linear probe: stop at empty (-1) or matching slot
+                    def cond(state):
+                        h, done = state
+                        return ~done
+
+                    def step(state):
+                        h, _ = state
+                        cur = out_col_ref[r, h]
+                        hit = (cur == j) | (cur == -1)
+
+                        @pl.when(hit)
+                        def _():
+                            out_col_ref[r, h] = j
+
+                            @pl.when(cur == -1)
                             def _():
-                                insert(h)
-                            nh = jax.lax.rem(h + 1, jnp.int32(H))
-                            return (jnp.where(hit, h, nh), hit)
+                                out_nnz_ref[r, 0] += 1
+                            out_val_ref[r, h] += v
+                        nh = jax.lax.rem(h + 1, jnp.int32(H))
+                        return (jnp.where(hit, h, nh), hit)
 
-                        jax.lax.while_loop(cond, step, (h0, jnp.bool_(False)))
-                    return 0
-                jax.lax.fori_loop(0, Kb, b_slot, 0)
-            return 0
-        jax.lax.fori_loop(0, Ka, a_slot, 0)
+                    jax.lax.while_loop(cond, step, (h0, jnp.bool_(False)))
+                return 0
+            jax.lax.fori_loop(0, kb_pad, b_slot, 0)
         return 0
-    jax.lax.fori_loop(0, tile_rows, row_body, 0)
+    jax.lax.fori_loop(0, total, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("table_size", "tile_rows",
-                                             "interpret"))
-def _hash_call(a_col, a_val, b_col, b_val, *, table_size: int,
-               tile_rows: int, interpret: bool):
+                                             "interpret", "kb_pad"))
+def _hash_call(a_col, a_val, b_packed, *, table_size: int,
+               tile_rows: int, interpret: bool, kb_pad: int):
     m, Ka = a_col.shape
     grid = (pl.cdiv(m, tile_rows),)
     smem_tile = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (i, 0), memory_space=pltpu.SMEM)
-    full_smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, kb_pad=kb_pad),
         grid=grid,
         in_specs=[smem_tile((tile_rows, Ka)), smem_tile((tile_rows, Ka)),
-                  full_smem, full_smem],
+                  pl.BlockSpec(memory_space=pl.ANY)],   # B stays in HBM
         out_specs=(smem_tile((tile_rows, table_size)),
                    smem_tile((tile_rows, table_size)),
                    smem_tile((tile_rows, 1))),
         out_shape=(jax.ShapeDtypeStruct((m, table_size), jnp.int32),
-                   jax.ShapeDtypeStruct((m, table_size), a_val.dtype),
+                   jax.ShapeDtypeStruct((m, table_size), jnp.float32),
                    jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, 2 * kb_pad), jnp.int32),  # DMA'd B rows
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(a_col, a_val, b_col, b_val)
+    )(a_col, a_val, b_packed)
 
 
 def _next_pow2(n: int) -> int:
@@ -135,27 +165,38 @@ def _next_pow2(n: int) -> int:
 def spgemm_hash(A: ELL, B: ELL, *, table_size: int | None = None,
                 tile_rows: int = DEFAULT_TILE_ROWS,
                 interpret: bool | None = None) -> ELL:
-    """C = A @ B via per-row SMEM hash accumulation. Returns ELL with
-    hash-ordered slots (use .to_scipy() / ell_to_csr for canonical order)."""
+    """C = A @ B via per-row SMEM hash accumulation with DMA-streamed B.
+    Returns ELL with hash-ordered slots (use .to_scipy() / ell_to_csr for
+    canonical order). f32 compute (the packed B table carries value bits
+    in int32 lanes)."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     Ka, Kb = A.max_nnz_per_row, B.max_nnz_per_row
     # upper bound on a row's nnz, padded for load factor
     H = table_size or min(_next_pow2(2 * Ka * Kb), _next_pow2(2 * B.ncols))
     H = max(H, 8)
-    b_bytes = B.col_ind.size * 4 + B.values.size * B.values.dtype.itemsize
-    t_bytes = tile_rows * H * (4 + A.values.dtype.itemsize)
-    if b_bytes + t_bytes > SMEM_BUDGET_BYTES:
+    t_bytes = tile_rows * H * 8 + 2 * 8 * 2 * _next_pow2(max(Kb, 1)) * 4
+    if t_bytes > SMEM_BUDGET_BYTES:
         raise ValueError(
-            f"operands exceed the SMEM hash budget ({b_bytes + t_bytes} > "
-            f"{SMEM_BUDGET_BYTES}); use the ESC path")
+            f"hash tables exceed the SMEM budget ({t_bytes} > "
+            f"{SMEM_BUDGET_BYTES}); use the ESC/bitonic paths")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    dtype = jnp.result_type(A.values.dtype, B.values.dtype)
+    # packed (col | f32-value bits) ELL table, rows padded to an 8-row
+    # DMA-aligned group count
+    kb_pad = max(_next_pow2(max(Kb, 1)), 8)
+    k = B.col_ind.shape[0]
+    k_pad = -(-k // 8) * 8
+    bc = jnp.pad(B.col_ind, ((0, k_pad - k), (0, kb_pad - Kb)),
+                 constant_values=-1)
+    bv = jnp.pad(B.values.astype(jnp.float32),
+                 ((0, k_pad - k), (0, kb_pad - Kb)))
+    b_packed = jnp.concatenate(
+        [bc, jax.lax.bitcast_convert_type(bv, jnp.int32)], axis=1)
     col, val, nnz_row = _hash_call(
-        A.col_ind, A.values.astype(dtype), B.col_ind,
-        B.values.astype(dtype), table_size=H, tile_rows=tile_rows,
-        interpret=interpret)
+        A.col_ind, A.values.astype(jnp.float32), b_packed,
+        table_size=H, tile_rows=tile_rows, interpret=interpret,
+        kb_pad=kb_pad)
     return ELL(col_ind=col, values=val, nnz_row=nnz_row[:, 0],
                nnz=jnp.sum(nnz_row).astype(jnp.int32),
                shape=(A.nrows, B.ncols))

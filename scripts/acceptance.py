@@ -172,8 +172,8 @@ def main():
     roofs = headline_rooflines()
     with open("reports/headline_rooflines.json", "w") as f:
         json.dump(roofs, f, indent=2)
-    print(json.dumps({k: {"time_ms": v["time_ms"],
-                          "pct_of_sol": v["pct_of_sol"]}
+    print(json.dumps({k: {"time_ms": v.get("time_ms", v.get("wall_ms")),
+                          "pct_of_sol": v.get("pct_of_sol")}
                       for k, v in roofs.items()}))
 
 
