@@ -146,7 +146,8 @@ def run_benchmark(A: CSR, B: CSR,
                   matnet_pick: Optional[str] = None,
                   iters: int = 3,
                   isolate: bool = False,
-                  isolate_backend: Optional[str] = None) -> BenchReport:
+                  isolate_backend: Optional[str] = None,
+                  progress=None) -> BenchReport:
     """Benchmark every algorithm computing C = A @ B, reference-style.
 
     isolate=True runs each non-baseline algorithm in a killable
@@ -164,6 +165,8 @@ def run_benchmark(A: CSR, B: CSR,
     timeout_s: Optional[float] = None
 
     for name in algorithms:
+        if progress is not None:
+            progress(name)
         res = AlgorithmResult(name=name)
         report.results.append(res)
         try:
@@ -336,7 +339,10 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
             B_ell = convert.csr_to_ell(B, check_guard=False)
             if flat_plan.viable:
                 return ("flat", A_ell, B_ell)
-            return ("mc", bt_ops.multiclass_planned(A_ell, B_ell))
+            # skewed outputs assemble as BlockCSR: nnz-scaled block
+            # gather instead of an (m, max_class_width) ELL scatter
+            return ("mc", bt_ops.multiclass_planned(A_ell, B_ell,
+                                                    assemble="bcsr"))
 
         def compute(ab):
             # flat kernel when viable (cheapest single dispatch); the
@@ -384,7 +390,10 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
                             if name == "coo"
                             else convert.sizeof_csr(C.nrows, int(C.nnz)))
     elif name in ("ell", "bitonic"):
-        res.memory_bytes = convert.sizeof_ell(C.nrows, C.max_nnz_per_row)
+        from ia_spgemm_tpu.formats.types import BlockCSR
+        res.memory_bytes = (float(C.padded_bytes())
+                            if isinstance(C, BlockCSR) else
+                            convert.sizeof_ell(C.nrows, C.max_nnz_per_row))
     elif name == "dia":
         res.memory_bytes = convert.sizeof_dia(C.nrows, C.ncols,
                                               C.num_diagonals)

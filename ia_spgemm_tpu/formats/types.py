@@ -263,6 +263,71 @@ class DIA:
 
 
 @struct.dataclass
+class BlockCSR:
+    """128-aligned padded CSR — the TPU-native CSR output layout.
+
+    Row i's entries occupy whole 128-lane blocks [blk_ptr[i],
+    blk_ptr[i+1]) of the (capacity_blocks, 128) block arrays; the first
+    nnz_row[i] slots are valid (ascending columns), the remainder of the
+    last block is padded col == -1 / value == 0. Blocks past
+    blk_ptr[nrows] are all-padding.
+
+    Rationale: an exact CSR's rows start at arbitrary nnz offsets, which
+    on TPU means misaligned element scatters (~10 ns/element on v5e) or
+    1024-aligned-only HBM DMAs; aligning every row to 128-lane blocks
+    makes assembly from per-class kernel outputs ONE flat row-gather
+    (gathers of >=128-lane rows run at HBM bandwidth) at the cost of
+    <=127 padding slots per row. The reference's CSR output
+    (detail/format.h:29-39) plays this role on byte-addressable hosts.
+    """
+
+    blk_ptr: jax.Array      # (nrows+1,) int32, block offsets
+    col_blocks: jax.Array   # (capacity_blocks, 128) int32, padding == -1
+    val_blocks: jax.Array   # (capacity_blocks, 128) float, padding == 0
+    nnz_row: jax.Array      # (nrows,) int32 — true entries per row
+    nnz: jax.Array          # 0-d int32
+    shape: Shape2 = struct.field(pytree_node=False)
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def capacity_blocks(self) -> int:
+        return self.col_blocks.shape[0]
+
+    @property
+    def dtype(self):
+        return self.val_blocks.dtype
+
+    def padded_bytes(self) -> int:
+        """Bytes of C in this format (the reference's memory_size metric,
+        csr/common_csr.h:196-202): used blocks including their alignment
+        padding — the price of alignment is part of the format's cost."""
+        itemsize = jnp.dtype(self.val_blocks.dtype).itemsize
+        return int(self.blk_ptr[-1]) * 128 * (4 + itemsize) \
+            + 4 * (self.nrows + 1)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        bp = np.asarray(self.blk_ptr).astype(np.int64)
+        total = int(bp[-1])
+        col = np.asarray(self.col_blocks)[:total].reshape(-1)
+        val = np.asarray(self.val_blocks)[:total].reshape(-1)
+        rows = np.repeat(np.arange(self.nrows), (bp[1:] - bp[:-1]) * 128)
+        mask = col >= 0
+        return sp.coo_matrix((val[mask], (rows[mask], col[mask])),
+                             shape=self.shape).tocsr()
+
+    def checksum(self) -> jax.Array:
+        return jnp.sum(self.val_blocks)
+
+
+@struct.dataclass
 class Dense:
     """Dense fallback / MXU reference path
     (reference: detail/format.h:7-14 DenseMatrix)."""

@@ -36,17 +36,30 @@ class Sample:
 
 
 def harvest_sample(A: CSR, B: CSR, menu: Sequence[str] = DEFAULT_MENU,
-                   name: str = "", iters: int = 2) -> Optional[Sample]:
-    """Benchmark all menu algorithms on (A, B); label = empirical winner."""
-    rep = harness.run_benchmark(A, B, tuple(menu), iters=iters,
-                                matrix_a=name, matrix_b=name)
-    if not rep.winner:
+                   name: str = "", iters: int = 2,
+                   progress=None) -> Optional[Sample]:
+    """Benchmark all menu algorithms on (A, B); label = empirical winner.
+
+    The scipy baseline is always RUN (it arms the reference's 20x watchdog
+    budget, main.cpp:510,751, and verifies every checksum) but is only a
+    winner CANDIDATE when the caller's menu includes it — a harvested
+    label must name a deployable TPU algorithm."""
+    algos = tuple(menu) if "baseline" in menu \
+        else ("baseline",) + tuple(menu)
+    rep = harness.run_benchmark(A, B, algos, iters=iters,
+                                matrix_a=name, matrix_b=name,
+                                progress=progress)
+    ok = [r for r in rep.results
+          if r.ok and r.run_time_ms > 0 and not r.error
+          and r.name in menu]
+    if not ok:
         return None
+    winner = min(ok, key=lambda r: r.run_time_ms).name
     fv = np.asarray(features.feature_vector(A, B), dtype=np.float32)
     img1 = np.asarray(density.density_image_normalized(A), dtype=np.float32)
     img2 = np.asarray(density.density_image_normalized(B), dtype=np.float32)
     return Sample(img1=img1, img2=img2, feats=fv,
-                  label=list(menu).index(rep.winner), winner=rep.winner,
+                  label=list(menu).index(winner), winner=winner,
                   matrix_name=name)
 
 

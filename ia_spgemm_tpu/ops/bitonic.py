@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ia_spgemm_tpu import config as cfg
-from ia_spgemm_tpu.formats.types import ELL
+from ia_spgemm_tpu.formats.types import ELL, BlockCSR
 
 SENTINEL = np.int32(np.iinfo(np.int32).max)
 
@@ -1119,7 +1119,8 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
 @functools.lru_cache(maxsize=64)
 def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                    chunks: int, out_w: int, m: int, interpret: bool,
-                   val_dtype, ragged: bool = False, cm: int = 1):
+                   val_dtype, ragged: bool = False, cm: int = 1,
+                   assemble: str = "ell"):
     """Build + jit the whole multi-class pipeline ONCE per static
     signature: one dispatch runs every class's expand + kernels and
     reassembles rows (the round-1 bucketed path paid one dispatch and one
@@ -1128,39 +1129,27 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
     ragged mode: per-class fragment index matrices M_c (rows x F_c, table
     row ids incl. a sentinel) and a_val fragment maps replace the chunked
     entry arithmetic; kas[c] is then F_c. cm = ceil(kb/run) (the fragment
-    grid of B)."""
+    grid of B).
+
+    assemble: "ell" scatters every class into one (m, out_w) ELL — the
+    right shape when out_w is near the mean row width; "bcsr" gathers the
+    per-class compact blocks into a 128-aligned BlockCSR, nnz-scaled —
+    the right shape for skewed outputs where out_w is dominated by a few
+    huge rows. The packed B table arrives prebuilt (last of *rest) so
+    repeated calls skip its construction."""
 
     def f(a_col, a_val, b_col, b_val, pos, *rest):
         cols_p, vals_p, nnz_p = [], [], []
+        table = rest[-1]
+        rest = rest[:-1]
+        if assemble == "bcsr":
+            src_start, oc_row = rest[-2], rest[-1]
+            rest = rest[:-2]
+        idxs = rest[:len(widths)]
         if ragged:
-            idxs = rest[:len(widths)]
             mcs = rest[len(widths):2 * len(widths)]
             ents = rest[2 * len(widths):3 * len(widths)]
-            # ragged fragment table: only NON-EMPTY fragments exist as
-            # rows (a full (k*cm) grid would materialize B's longest-row
-            # padding for every row). frag_src picks them out of the
-            # (k*cm, run) reshape of B's padded ELL.
-            frag_src = rest[3 * len(widths)]
-            k, kb = b_col.shape
-            bc_p = jnp.pad(b_col, ((0, 0), (0, cm * run - kb)),
-                           constant_values=-1).reshape(k * cm, run)
-            bv_p = jnp.pad(b_val, ((0, 0), (0, cm * run - kb))
-                           ).reshape(k * cm, run)
-            bvb = jax.lax.bitcast_convert_type(bv_p, jnp.int32)
-            packed = jnp.concatenate([bc_p, bvb], axis=1)  # (k*cm, 2run)
-            gt = packed[frag_src]                          # (F_B, 2run)
-            gc_t, gvb_t = gt[:, :run], gt[:, run:]
-            wide = jnp.concatenate(
-                [gc_t, gvb_t, jnp.flip(gc_t, axis=1),
-                 jnp.flip(gvb_t, axis=1)], axis=1)
-            if wide.shape[1] < 128:
-                wide = jnp.pad(wide, ((0, 0), (0, 128 - wide.shape[1])))
-            table = jnp.pad(wide, ((0, 1), (0, 0)), constant_values=-1)
-            kt = table.shape[0] - 1
-        else:
-            idxs = rest[:len(widths)]
-            table, kt = _build_wide_table(b_col, b_val, run=run,
-                                          chunks=chunks)
+        kt = table.shape[0] - 1
         lanes = table.shape[1]
         for c, w in enumerate(widths):
             idx = idxs[c]
@@ -1254,6 +1243,11 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
             cols_p.append(col_c)
             vals_p.append(val_c)
             nnz_p.append(nnz_c)
+        if assemble == "bcsr":
+            ocs = tuple(c.shape[1] for c in cols_p)
+            return _assemble_bcsr(cols_p, vals_p, nnz_p, idxs,
+                                  src_start, oc_row, m=m,
+                                  counts=counts, ocs=ocs)
         # assemble per class with drop-mode row scatters at EACH CLASS'S
         # OWN width (padding the updates to out_w materialized multi-GB
         # temporaries on skewed outputs; a concatenate+take assembly
@@ -1271,20 +1265,67 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
     return jax.jit(f)
 
 
+def _assemble_bcsr(cols_p, vals_p, nnz_p, idxs, src_start, oc_row,
+                   *, m: int, counts: tuple, ocs: tuple):
+    """Gather the per-class compact outputs into 128-aligned BlockCSR.
+
+    All heavy traffic is bandwidth-shaped: the per-class buffers reshape
+    (free) into (*, 128) block tables, and the output is ONE flat
+    row-gather of ceil(nnz_i/128) blocks per row (>=128-lane row gathers
+    run at HBM bandwidth on v5e; the ELL assembly instead scattered into
+    an (m, max_class_width) buffer — (m x 8192)-sized for the measured
+    skew workload whose mean output row is ~260 wide). The block->row map
+    costs one m-element scatter + one cumsum (~0.1-0.4 ns/element).
+
+    src_start[r] (host-built at plan time): first source block of row r
+    inside the concatenated class tables; oc_row[r]: row r's class output
+    width (clamps nnz when an explicit out_width cap dropped entries).
+    """
+    nblk = [counts[c] * ocs[c] // 128 for c in range(len(counts))]
+    nb_src = sum(nblk)
+    nnz = jnp.zeros((m,), jnp.int32)
+    for c in range(len(cols_p)):
+        nnz = nnz.at[idxs[c]].set(nnz_p[c][:, 0], mode="drop")
+    nnz = jnp.minimum(nnz, oc_row)
+    bpr = (nnz + 127) // 128
+    blk_ptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(bpr, dtype=jnp.int32)])
+    total = blk_ptr[-1]
+    # block b's row = #rows whose span ended at or before b (scatter-delta
+    # + cumsum; empty rows collapse via .add). Blocks >= total map to m.
+    marks = jnp.zeros((nb_src + 1,), jnp.int32
+                      ).at[blk_ptr[1:]].add(1, mode="drop")
+    row_of = jnp.cumsum(marks[:nb_src], dtype=jnp.int32)
+    barange = jax.lax.iota(jnp.int32, nb_src)
+    ss = jnp.concatenate([src_start, jnp.zeros((1,), jnp.int32)])
+    src = ss[row_of] + (barange - blk_ptr[row_of])
+    src = jnp.where(barange < total, src, nb_src)  # sentinel block
+    col_src = jnp.concatenate(
+        [cols_p[c].reshape(nblk[c], 128) for c in range(len(cols_p))]
+        + [jnp.full((1, 128), -1, jnp.int32)], axis=0)
+    val_src = jnp.concatenate(
+        [vals_p[c].reshape(nblk[c], 128) for c in range(len(vals_p))]
+        + [jnp.zeros((1, 128), vals_p[0].dtype)], axis=0)
+    return blk_ptr, col_src[src], val_src[src], nnz
+
+
 def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
                        out_width: int | None = None,
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       assemble: str = "ell"):
     """Host-plan the width-class pipeline ONCE and return a zero-argument
     callable that runs it (planning builds per-class index/fragment
     matrices — O(nnz) host work worth amortizing across repeated calls,
     like any format conversion). Returns None when not viable."""
     return _multiclass_build(A, B, max_classes=max_classes,
-                             out_width=out_width, interpret=interpret)
+                             out_width=out_width, interpret=interpret,
+                             assemble=assemble)
 
 
 def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
                               out_width: int | None = None,
-                              interpret: bool | None = None) -> ELL | None:
+                              interpret: bool | None = None,
+                              assemble: str = "ell"):
     """C = A @ B with per-row width classes sharing ONE jitted dispatch.
 
     A single global width pads every row to the LONGEST row's products;
@@ -1296,16 +1337,49 @@ def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
     spgemm_bitonic_bucketed (one python dispatch + full-output scatter
     per class — a pessimization under any dispatch latency).
 
+    assemble="ell" returns a unified ELL padded to the LARGEST class
+    width — the natural shape for near-uniform outputs but (m x 8192)
+    for the measured skew workload. assemble="bcsr" returns a BlockCSR
+    built by one nnz-scaled block gather (see _assemble_bcsr) — the
+    output the reference's CSR kernels produce, in the TPU-aligned
+    layout.
+
     Returns None when not viable (caller falls back to ESC)."""
     call = _multiclass_build(A, B, max_classes=max_classes,
-                             out_width=out_width, interpret=interpret)
+                             out_width=out_width, interpret=interpret,
+                             assemble=assemble)
     return call() if call is not None else None
 
 
+@functools.partial(jax.jit, static_argnames=("run", "cm"))
+def _ragged_table(b_col, b_val, frag_src, *, run: int, cm: int):
+    """Packed wide table over the NON-EMPTY (sub-run) fragments of B
+    (f32): [col_f | val_bits_f | col_rev | val_bits_rev] per fragment +
+    a final all-(-1) sentinel row. Built once at plan time — rebuilding
+    it per call cost a ~6 ms narrow-row gather on the skew workload."""
+    k, kb = b_col.shape
+    bc_p = jnp.pad(b_col, ((0, 0), (0, cm * run - kb)),
+                   constant_values=-1).reshape(k * cm, run)
+    bv_p = jnp.pad(b_val, ((0, 0), (0, cm * run - kb))).reshape(k * cm, run)
+    bvb = jax.lax.bitcast_convert_type(bv_p, jnp.int32)
+    packed = jnp.concatenate([bc_p, bvb], axis=1)      # (k*cm, 2run)
+    gt = packed[frag_src]                              # (F_B, 2run)
+    gc_t, gvb_t = gt[:, :run], gt[:, run:]
+    wide = jnp.concatenate(
+        [gc_t, gvb_t, jnp.flip(gc_t, axis=1),
+         jnp.flip(gvb_t, axis=1)], axis=1)
+    if wide.shape[1] < 128:
+        wide = jnp.pad(wide, ((0, 0), (0, 128 - wide.shape[1])))
+    return jnp.pad(wide, ((0, 1), (0, 0)), constant_values=-1)
+
+
 def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
-                      out_width: int | None, interpret: bool | None):
+                      out_width: int | None, interpret: bool | None,
+                      assemble: str = "ell"):
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    if assemble not in ("ell", "bcsr"):
+        raise ValueError(f"unknown assemble mode {assemble!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m = A.nrows
@@ -1327,8 +1401,14 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
     run, chunks = plan.run, plan.chunks
     out_w = int(widths[-1]) if out_width is None \
         else min(int(out_width), int(widths[-1]))
+    if assemble == "bcsr":
+        # block alignment: every class output width must be a whole
+        # number of 128-lane blocks (class widths already are — the
+        # planner floors at 128 — so only a caller-supplied cap can
+        # misalign)
+        out_w = -(-out_w // 128) * 128
 
-    idxs, kas, counts = [], [], []
+    idxs, kas, counts, idx_h = [], [], [], []
     pos = np.zeros(m, np.int64)
     off = 0
     extra = []
@@ -1370,12 +1450,18 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
         # per-class scatter of the fragment stream into (n_pad, F_c)
         class_rank = np.zeros(m, np.int64)
         mcs, ents = [], []
-        for w in widths:
+        # class-id lookup instead of np.isin (O(F log F) on the fragment
+        # stream; the lookup is O(F))
+        class_id = np.zeros(m, np.int64)
+        for c, w in enumerate(widths):
+            class_id[W == w] = c
+        cls_f = class_id[rows_f]
+        for c, w in enumerate(widths):
             idx = np.nonzero(W == w)[0]
             n_pad = cfg.bucket_capacity(max(len(idx), 1))
             F_c = max(1, w // run)
             class_rank[idx] = np.arange(len(idx))
-            sel = np.isin(rows_f, idx) if len(widths) > 1 \
+            sel = cls_f == c if len(widths) > 1 \
                 else np.ones(F_total, bool)
             M = np.full((n_pad, F_c), F_B, np.int64)
             E = np.zeros((n_pad, F_c), np.int64)
@@ -1386,14 +1472,18 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
             idxs.append(jnp.asarray(
                 np.pad(idx, (0, n_pad - len(idx)),
                        constant_values=m).astype(np.int32)))
+            idx_h.append(idx)
             kas.append(int(F_c))
             counts.append(int(n_pad))
             mcs.append(jnp.asarray(M.astype(np.int32)))
             ents.append(jnp.asarray(E.astype(np.int32)))
-        extra = mcs + ents + [jnp.asarray(frag_src.astype(np.int32))]
+        extra = mcs + ents
+        table = _ragged_table(B.col_ind, B.values,
+                              jnp.asarray(frag_src.astype(np.int32)),
+                              run=run, cm=cm)
         fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
                             run, 0, out_w, m, interpret,
-                            jnp.dtype(A.values.dtype), True, cm)
+                            jnp.dtype(A.values.dtype), True, cm, assemble)
     else:
         per_entry = chunks * run
         for w in widths:
@@ -1405,17 +1495,45 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
             idxs.append(jnp.asarray(
                 np.pad(idx, (0, n_pad - len(idx)),
                        constant_values=m).astype(np.int32)))
+            idx_h.append(idx)
             kas.append(int(ka_c))
             counts.append(int(n_pad))
+        if f32:
+            table, _ = _build_wide_table(B.col_ind, B.values, run=run,
+                                         chunks=chunks)
+        else:
+            # non-f32 classes take the _expand_ell path (no packed-bits
+            # table); a 1-row sentinel keeps the arg list uniform
+            table = jnp.full((1, 128), -1, jnp.int32)
         fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
                             run, chunks, out_w, m, interpret,
-                            jnp.dtype(A.values.dtype))
+                            jnp.dtype(A.values.dtype), False, 1, assemble)
+    if assemble == "bcsr":
+        ocs = [min(out_w, int(w)) for w in widths]
+        nblk = [counts[c] * ocs[c] // 128 for c in range(len(widths))]
+        base = np.concatenate([[0], np.cumsum(nblk)])
+        src_start_h = np.zeros(m, np.int64)
+        oc_row_h = np.full(m, 128, np.int64)
+        for c in range(len(widths)):
+            src_start_h[idx_h[c]] = base[c] + np.arange(
+                len(idx_h[c]), dtype=np.int64) * (ocs[c] // 128)
+            oc_row_h[idx_h[c]] = ocs[c]
+        extra = extra + [jnp.asarray(src_start_h.astype(np.int32)),
+                         jnp.asarray(oc_row_h.astype(np.int32))]
+    extra = extra + [table]
     pos_d = jnp.asarray(pos.astype(np.int32))
     shape = (A.nrows, B.ncols)
 
-    def call() -> ELL:
-        col, val, nnz_row = fn(A.col_ind, A.values, B.col_ind, B.values,
-                               pos_d, *idxs, *extra)
+    def call():
+        out = fn(A.col_ind, A.values, B.col_ind, B.values,
+                 pos_d, *idxs, *extra)
+        if assemble == "bcsr":
+            blk_ptr, colb, valb, nnz_row = out
+            return BlockCSR(blk_ptr=blk_ptr, col_blocks=colb,
+                            val_blocks=valb, nnz_row=nnz_row,
+                            nnz=jnp.sum(nnz_row).astype(jnp.int32),
+                            shape=shape)
+        col, val, nnz_row = out
         return ELL(col_ind=col, values=val, nnz_row=nnz_row,
                    nnz=jnp.sum(nnz_row).astype(jnp.int32), shape=shape)
 

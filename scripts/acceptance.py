@@ -142,21 +142,28 @@ def headline_rooflines():
     while ow < mx:
         ow *= 2
     del C_skew
-    # steady state: planned once, output capped to the observed bound
-    call = bitonic.multiclass_planned(A_skew_ell, A_skew_ell,
-                                      out_width=ow)
-    r = profiling.time_op(call, iters=3)
-    dev = profiling.device_time_ms(call, chain=2)
-    out["multiclass_skew"] = {
-        "wall_ms": r["median_ms"],
-        "device_ms": dev["device_ms"],
-        "plan_seconds": round(plan_s, 1),
-        "scipy_ms": scipy_skew_ms,
-        "speedup_vs_scipy": scipy_skew_ms / r["median_ms"],
-        "checksum_rel_err": rel,
-        "nnz": int(A_skew.nnz),
-        "flat_plan_viable": False,
-    }
+    # steady state: planned once, output capped to the observed bound.
+    # bcsr is the production assembly for skewed outputs (the harness's
+    # choice): per-class compact blocks gathered into 128-aligned
+    # BlockCSR, nnz-scaled, vs the ELL mode's (m, out_w) scatter.
+    for mode in ("ell", "bcsr"):
+        call = bitonic.multiclass_planned(A_skew_ell, A_skew_ell,
+                                          out_width=ow, assemble=mode)
+        r = profiling.time_op(call, iters=3)
+        dev = profiling.device_time_ms(call, chain=2)
+        key = "multiclass_skew" if mode == "bcsr" \
+            else "multiclass_skew_ell"
+        out[key] = {
+            "wall_ms": r["median_ms"],
+            "device_ms": dev["device_ms"],
+            "plan_seconds": round(plan_s, 1),
+            "scipy_ms": scipy_skew_ms,
+            "speedup_vs_scipy": scipy_skew_ms / r["median_ms"],
+            "checksum_rel_err": rel,
+            "nnz": int(A_skew.nnz),
+            "flat_plan_viable": False,
+            "assembly": mode,
+        }
 
     jax.block_until_ready(C.values)
     return out

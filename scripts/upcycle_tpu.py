@@ -12,6 +12,13 @@ Outputs (under weights/):
   upcycle_report.json — corpus, per-class counts, pick accuracy
 
 Usage:  python scripts/upcycle_tpu.py [--quick]
+
+The driver is PROCESS-ISOLATED per matrix: the parent pins itself to the
+CPU backend (never claims the single-tenant TPU) and harvests each matrix
+in its own subprocess/process group, killed by exact pgid on timeout —
+the reference's pthread_cancel watchdog (main.cpp:770-775) at matrix
+granularity. A pathological matrix (or a wedged device claim) costs one
+timeout, not the harvest. Internal flags: --worker NAME --out FILE.
 """
 
 from __future__ import annotations
@@ -180,11 +187,70 @@ def corpus(quick: bool):
             yield f"ref_{name}", A.to_scipy(), None
 
 
-def main():
-    quick = "--quick" in sys.argv
+WORKER_TIMEOUT_S = float(os.environ.get("IA_HARVEST_TIMEOUT", "900"))
+
+
+def worker_main(name: str, out: str, quick: bool) -> None:
+    """Harvest ONE matrix (runs on the TPU in its own process group)."""
     from ia_spgemm_tpu.cli.main import enable_compilation_cache
     enable_compilation_cache()
     from ia_spgemm_tpu.formats.types import CSR
+    from ia_spgemm_tpu.models import upcycle
+
+    for nm, a, b in corpus(quick):
+        if nm != name:
+            continue
+        A = CSR.from_scipy(a.tocsr().astype(np.float32))
+        B = A if b is None else CSR.from_scipy(b.tocsr().astype(np.float32))
+        s = upcycle.harvest_sample(
+            A, B, menu=MENU, name=name, iters=2,
+            progress=lambda alg: print(f"  [{name}] {alg}", flush=True))
+        if s is not None:
+            upcycle.save_samples(out, [s])
+        return
+    print(f"{name}: not in corpus", flush=True)
+    sys.exit(3)
+
+
+def _probe_tpu_recovered(max_wait_s: float = 1500.0) -> bool:
+    """After a pgid kill mid-claim, the single-tenant device claim can
+    stay wedged for ~10-20 min; poll with a trivial device op until a
+    fresh process can claim again."""
+    import signal
+    import subprocess
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        p = subprocess.Popen(
+            [sys.executable, "-c",
+             "import jax; jax.numpy.zeros(8).block_until_ready()"],
+            env=env, start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            if p.wait(timeout=60) == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+        time.sleep(30)
+    return False
+
+
+def main():
+    argv = sys.argv[1:]
+    quick = "--quick" in argv
+    if "--worker" in argv:
+        worker_main(argv[argv.index("--worker") + 1],
+                    argv[argv.index("--out") + 1], quick)
+        return
+
+    # Parent: CPU backend only — the worker owns the single TPU claim.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import signal
+    import subprocess
+
     from ia_spgemm_tpu.models import upcycle, weights
 
     os.makedirs("weights", exist_ok=True)
@@ -200,24 +266,49 @@ def main():
         except Exception:
             samples, done = [], set()
     t_start = time.time()
-    for name, a, b in corpus(quick):
+    child_env = {k: v for k, v in os.environ.items()
+                 if k != "JAX_PLATFORMS"}
+    tmp_out = "weights/.harvest_one.npz"
+    for name, _a, _b in corpus(quick):
         if name in done:
             continue
-        A = CSR.from_scipy(a.tocsr().astype(np.float32))
-        B = A if b is None else CSR.from_scipy(b.tocsr().astype(np.float32))
+        done.add(name)  # corpus can repeat fixture names; harvest once
+        if os.path.exists(tmp_out):
+            os.remove(tmp_out)
         t0 = time.time()
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--worker", name, "--out", tmp_out]
+        if quick:
+            cmd.append("--quick")
+        p = subprocess.Popen(cmd, env=child_env, start_new_session=True)
         try:
-            s = upcycle.harvest_sample(A, B, menu=MENU, name=name, iters=2)
-        except Exception as e:  # noqa: BLE001 — skip broken cases, keep going
-            print(f"{name}: harvest failed: {e}", flush=True)
+            rc = p.wait(timeout=WORKER_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            p.wait()
+            print(f"{name}: TIMEOUT after {WORKER_TIMEOUT_S:.0f}s (killed);"
+                  " waiting for the device claim to clear", flush=True)
+            if not _probe_tpu_recovered():
+                print("device claim did not recover; aborting harvest",
+                      flush=True)
+                break
             continue
-        if s is None:
+        if rc != 0:
+            print(f"{name}: worker failed rc={rc}", flush=True)
+            continue
+        if not os.path.exists(tmp_out):
             print(f"{name}: no winner", flush=True)
             continue
-        samples.append(s)
+        try:
+            samples.extend(upcycle.load_samples(tmp_out))
+        finally:
+            os.remove(tmp_out)
         upcycle.save_samples(ckpt, samples)   # checkpoint every matrix
-        print(f"{name}: winner={s.winner} ({time.time() - t0:.1f}s)",
-              flush=True)
+        print(f"{name}: winner={samples[-1].winner} "
+              f"({time.time() - t0:.1f}s)", flush=True)
     counts = {algo: sum(1 for s in samples if s.winner == algo)
               for algo in MENU}
     print("harvest done:", len(samples), "samples", counts, flush=True)

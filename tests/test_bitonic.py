@@ -298,3 +298,86 @@ def test_bitonic_sparse_output_mode():
     # matches nnz_row
     col = np.asarray(sparse_c.col_ind)
     assert ((col >= 0).sum(axis=1) == np.asarray(sparse_c.nnz_row)).all()
+
+def _skewed(seed, m, heavy_every=37, heavy=40, light=6):
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        ln = heavy if r % heavy_every == 0 else int(rng.integers(1, light))
+        cs = rng.choice(m, size=ln, replace=False)
+        for c in cs:
+            rows.append(r)
+            cols.append(int(c))
+            vals.append(float(rng.standard_normal()))
+    return sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+
+
+def test_multiclass_bcsr_matches_oracle():
+    """assemble='bcsr' returns a 128-aligned BlockCSR whose expansion
+    matches the oracle AND the ELL-mode result; block invariants hold."""
+    from ia_spgemm_tpu.formats.types import BlockCSR
+    a = _skewed(21, 200)
+    A = _ell(a)
+    C = bitonic.spgemm_bitonic_multiclass(A, A, assemble="bcsr")
+    assert isinstance(C, BlockCSR)
+    _check(a, a, C)
+    # same numbers as the ELL assembly
+    E = bitonic.spgemm_bitonic_multiclass(A, A)
+    assert np.array_equal(np.asarray(C.nnz_row), np.asarray(E.nnz_row))
+    assert np.isclose(float(C.checksum()), float(E.checksum()), rtol=1e-5)
+    # block invariants: blk_ptr spans = ceil(nnz/128); used blocks pad
+    # with col == -1 / val == 0 beyond each row's nnz
+    bp = np.asarray(C.blk_ptr)
+    nnz = np.asarray(C.nnz_row)
+    assert np.array_equal(bp[1:] - bp[:-1], -(-nnz // 128))
+    colb = np.asarray(C.col_blocks)
+    valb = np.asarray(C.val_blocks)
+    for r in range(C.nrows):
+        span = colb[bp[r]:bp[r + 1]].reshape(-1)
+        vspan = valb[bp[r]:bp[r + 1]].reshape(-1)
+        k = nnz[r]
+        assert (span[:k] >= 0).all()
+        assert (span[:k][1:] > span[:k][:-1]).all()  # ascending cols
+        assert (span[k:] == -1).all()
+        assert (vspan[k:] == 0).all()
+    total = int(bp[-1])
+    assert (colb[total:] == -1).all() and (valb[total:] == 0).all()
+
+
+def test_multiclass_bcsr_ragged_b_skew():
+    """bcsr assembly over the ragged-fragment layout (B-skew)."""
+    from ia_spgemm_tpu.formats.types import BlockCSR
+    a = _skewed(23, 256, heavy_every=64, heavy=160, light=5)
+    A = _ell(a)
+    plan, _ = bitonic.plan_multiclass(
+        np.asarray(A.nnz_row), A.max_nnz_per_row,
+        a_col_h=np.asarray(A.col_ind),
+        b_len_h=np.asarray(A.nnz_row).astype(np.int64))
+    assert plan.ragged
+    C = bitonic.spgemm_bitonic_multiclass(A, A, assemble="bcsr")
+    assert isinstance(C, BlockCSR)
+    _check(a, a, C)
+
+
+def test_multiclass_bcsr_out_width_cap():
+    """A non-multiple-of-128 out_width rounds UP to block alignment; the
+    cap clamps per-row nnz to the class output width."""
+    a = _skewed(25, 200)
+    A = _ell(a)
+    full = bitonic.spgemm_bitonic_multiclass(A, A, assemble="bcsr")
+    capped = bitonic.spgemm_bitonic_multiclass(A, A, assemble="bcsr",
+                                               out_width=130)
+    # 130 rounds up to 256; every row keeps min(nnz, its class cap)
+    nnz_f = np.asarray(full.nnz_row)
+    nnz_c = np.asarray(capped.nnz_row)
+    assert (nnz_c <= np.minimum(nnz_f, 256)).all()
+    assert (nnz_c == np.minimum(nnz_f, nnz_c.max(initial=0))).all() or \
+        (nnz_c <= nnz_f).all()
+    got = capped.to_scipy()
+    want = (a @ a).tocsr().astype(np.float32)
+    # uncapped rows agree exactly with the oracle
+    for r in np.nonzero(nnz_c == nnz_f)[0][:50]:
+        gr = got.getrow(int(r))
+        wr = want.getrow(int(r))
+        d = abs(gr - wr)
+        assert (d.max() if d.nnz else 0.0) < 1e-4
