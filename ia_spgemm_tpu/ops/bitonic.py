@@ -1016,32 +1016,56 @@ class MultiClassPlan:
     reason: str = ""
 
 
-@functools.partial(jax.jit, static_argnames=("run",))
-def _frag_rows_dev(a_col, b_len, *, run: int):
+@jax.jit
+def _frag_rows_dev(a_col, b_len, run):
     """Per-row ragged fragment totals, computed ON DEVICE — the planner
     evaluates this per run candidate and the (m, K) host reduction
-    measured ~30 s/candidate on this box's CPU."""
+    measured ~30 s/candidate on this box's CPU. run is TRACED (shapes
+    don't depend on it) so all candidates share one compilation."""
     lens = b_len[jnp.clip(a_col, 0, b_len.shape[0] - 1)]
     fe = jnp.where(a_col >= 0,
                    jnp.maximum(-(-jnp.maximum(lens, 0) // run), 1), 0)
     return jnp.sum(fe, axis=1, dtype=jnp.int32)
 
 
-def _entry_blens(a_col_h, b_len_h):
-    """Per-entry B-row lengths (0 for padding slots) — computed ONCE and
-    reused across the planner's run candidates (the fancy-indexed gather
-    over (m, K) dominates planning cost on skewed inputs)."""
-    lens = b_len_h[np.clip(a_col_h, 0, len(b_len_h) - 1)].astype(np.int32)
-    return np.where(a_col_h >= 0, lens, -1)
+def _compact_entries(a_col_h, b_len_h, a_len_h=None):
+    """Live-entry stream of A's padded ELL (row-major order): in-row
+    slot ids, B-row ids, B-row lengths, A-row ids, and per-A-row
+    pointers into the stream. ALL host planning math runs on this
+    nnz-sized stream — the padded (m, K) grid carries K/mean_nnz dead
+    slots (~25x on the skew headline, where the grid-shaped passes
+    measured ~35 s host time). When a_len_h (per-row nnz) is given the
+    stream comes straight from ELL's left-justification invariant
+    (types.py:170) — no grid scan at all."""
+    m, ka = a_col_h.shape
+    if a_len_h is not None:
+        al = np.minimum(np.maximum(a_len_h.astype(np.int64), 0), ka)
+        row_ptr = np.concatenate([[0], np.cumsum(al)]).astype(np.int64)
+        nnz = int(row_ptr[-1])
+        rows_live = np.repeat(np.arange(m, dtype=np.int32), al)
+        rp32 = row_ptr.astype(np.int32)
+        e_live = np.arange(nnz, dtype=np.int32) - rp32[:-1][rows_live]
+        ent = rows_live.astype(np.int64) * ka + e_live
+        j_live = a_col_h.reshape(-1)[ent].astype(np.int64)
+    else:
+        flat = a_col_h.reshape(-1)
+        ent = np.nonzero(flat >= 0)[0]
+        j_live = flat[ent].astype(np.int64)
+        rows_live = (ent // ka).astype(np.int32)
+        e_live = (ent % ka).astype(np.int32)
+        row_ptr = np.searchsorted(rows_live,
+                                  np.arange(m + 1, dtype=np.int64))
+    len_live = np.maximum(b_len_h[j_live], 0).astype(np.int64)
+    return e_live, j_live, len_live, rows_live, row_ptr
 
 
-def _frags_from_blens(len_e, run: int):
-    """(per-entry frag counts, per-row totals) for a sub-run length:
+def _frag_totals(len_live, row_ptr, run: int):
+    """(per-live-entry frag counts, per-row totals) for a sub-run length:
     each stored A entry contributes ceil(len_B/run) fragments (empty-B-row
     entries still occupy one fragment slot so padding stays uniform)."""
-    frag_e = np.where(len_e >= 0,
-                      np.maximum(-(-np.maximum(len_e, 0) // run), 1), 0)
-    return frag_e, frag_e.sum(axis=1, dtype=np.int64)
+    frag = np.maximum(-(-len_live // run), 1)
+    cs = np.concatenate([[0], np.cumsum(frag)])
+    return frag, cs[row_ptr[1:]] - cs[row_ptr[:-1]]
 
 
 def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
@@ -1064,8 +1088,8 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
     full_run = max(1, _next_pow2(kb))
     use_dev = a_col_dev is not None and b_len_dev is not None
     ragged_ok = use_dev or (a_col_h is not None and b_len_h is not None)
-    len_e = (_entry_blens(a_col_h, b_len_h)
-             if not use_dev and ragged_ok else None)
+    ce = (_compact_entries(a_col_h, b_len_h)
+          if not use_dev and ragged_ok else None)
 
     def feasible(W):
         return (int(W.max(initial=128)) <= MAX_WIDTH
@@ -1085,10 +1109,11 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
             best = cand
         if ragged_ok:
             if use_dev:
-                F = np.asarray(_frag_rows_dev(a_col_dev, b_len_dev,
-                                              run=run0)).astype(np.int64)
+                F = np.asarray(_frag_rows_dev(
+                    a_col_dev, b_len_dev,
+                    jnp.int32(run0))).astype(np.int64)
             else:
-                _, F = _frags_from_blens(len_e, run0)
+                _, F = _frag_totals(ce[2], ce[4], run0)
             Wr = np.maximum(128, _next_pow2_arr(np.maximum(F, 1) * run0))
             # ragged pays a per-call fragment-table gather; prefer it only
             # on a clear (2x) slot win
@@ -1415,8 +1440,10 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
     if plan.ragged:
         cm = -(-max(B.max_nnz_per_row, 1) // run)
         ka_in = a_col_h.shape[1]
-        len_e = _entry_blens(a_col_h, b_len_h)
-        frag_e, F_rows = _frags_from_blens(len_e, run)
+        e_live, j_live, len_live, rows_live, row_ptr = \
+            _compact_entries(a_col_h, b_len_h,
+                             a_len_h=np.asarray(A.nnz_row))
+        frag_live, F_rows = _frag_totals(len_live, row_ptr, run)
         # non-empty fragment rows of the (k*cm, run) grid of B, plus a
         # sentinel row appended by the jitted builder
         b_frag_cnt = np.maximum(-(-np.maximum(b_len_h, 0) // run),
@@ -1427,46 +1454,44 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
         within_b = np.arange(F_B) - np.repeat(startp[:-1], b_frag_cnt)
         frag_src = js * cm + within_b
 
-        # global fragment stream over A entries (vectorized — python
-        # loops over nnz measured ~30x too slow on this host):
-        fe_flat = frag_e.reshape(-1).astype(np.int64)
-        F_total = int(fe_flat.sum())
-        pref = np.cumsum(fe_flat) - fe_flat            # (m*ka,)
-        ent_rep = np.repeat(np.arange(m * ka_in, dtype=np.int64), fe_flat)
-        within = np.arange(F_total, dtype=np.int64) \
-            - np.repeat(pref, fe_flat)
-        rows_f = ent_rep // ka_in
-        e_f = (ent_rep % ka_in).astype(np.int64)
-        j_f = a_col_h.reshape(-1)[ent_rep].astype(np.int64)
-        live = (j_f >= 0) & (np.maximum(b_len_h, 0)[np.clip(
-            j_f, 0, len(b_len_h) - 1)] > 0)
-        mval_f = np.where(live, startp[np.clip(j_f, 0,
-                                               len(b_len_h) - 1)] + within,
-                          F_B)
-        # per-row fragment position: global prefix minus the row's base
-        row_base = pref.reshape(m, ka_in)[:, 0]
-        fpos_f = (pref[ent_rep] + within) - row_base[rows_f]
+        # global fragment stream over the LIVE A entries (nnz-scaled,
+        # int32: python loops over nnz measured ~30x too slow on this
+        # host, the padded-grid vectorization ~25x more traffic than
+        # this, and int64 doubles every pass for values that fit int32):
+        F_total = int(frag_live.sum())
+        pref_live = (np.cumsum(frag_live) - frag_live).astype(np.int32)
+        # ONE repeat builds the fragment->entry map; everything else is
+        # an int32 gather through it (repeat measured ~2x a gather per
+        # element on this host)
+        src = np.repeat(np.arange(len(frag_live), dtype=np.int32),
+                        frag_live)
+        rows_f = rows_live[src]
+        e_f = e_live[src]
+        ar = np.arange(F_total, dtype=np.int32)
+        within = ar - pref_live[src]
+        sv = startp[j_live].astype(np.int32)             # (nnz,)
+        mval_f = np.where((len_live > 0)[src], sv[src] + within,
+                          np.int32(F_B))
+        # per-row fragment position: global stream index minus the row's
+        # first fragment's index (cs[row_ptr] = exclusive row prefix)
+        cs = np.concatenate([[0], np.cumsum(frag_live)])
+        row_base = cs[row_ptr[:-1]].astype(np.int32)
+        fpos_f = ar - row_base[rows_f]
 
-        # per-class scatter of the fragment stream into (n_pad, F_c)
-        class_rank = np.zeros(m, np.int64)
-        mcs, ents = [], []
-        # class-id lookup instead of np.isin (O(F log F) on the fragment
-        # stream; the lookup is O(F))
-        class_id = np.zeros(m, np.int64)
-        for c, w in enumerate(widths):
-            class_id[W == w] = c
-        cls_f = class_id[rows_f]
+        # scatter the stream into every class's (n_pad, F_c) index
+        # matrix at once: ONE flat target index + two int32 scatters
+        # (per-class masked fancy-indexing made 3 extra F-sized passes
+        # per class)
+        class_rank = np.zeros(m, np.int32)
+        class_id = np.zeros(m, np.int8)
+        Fcs, npads, bases = [], [], []
+        base = 0
         for c, w in enumerate(widths):
             idx = np.nonzero(W == w)[0]
             n_pad = cfg.bucket_capacity(max(len(idx), 1))
             F_c = max(1, w // run)
-            class_rank[idx] = np.arange(len(idx))
-            sel = cls_f == c if len(widths) > 1 \
-                else np.ones(F_total, bool)
-            M = np.full((n_pad, F_c), F_B, np.int64)
-            E = np.zeros((n_pad, F_c), np.int64)
-            M[class_rank[rows_f[sel]], fpos_f[sel]] = mval_f[sel]
-            E[class_rank[rows_f[sel]], fpos_f[sel]] = e_f[sel]
+            class_id[idx] = c
+            class_rank[idx] = np.arange(len(idx), dtype=np.int32)
             pos[idx] = off + np.arange(len(idx))
             off += n_pad
             idxs.append(jnp.asarray(
@@ -1475,8 +1500,25 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
             idx_h.append(idx)
             kas.append(int(F_c))
             counts.append(int(n_pad))
-            mcs.append(jnp.asarray(M.astype(np.int32)))
-            ents.append(jnp.asarray(E.astype(np.int32)))
+            Fcs.append(F_c)
+            npads.append(n_pad)
+            bases.append(base)
+            base += n_pad * F_c
+        cls_f = class_id[rows_f]
+        tgt = (np.asarray(bases, np.int64)[cls_f]
+               + class_rank[rows_f].astype(np.int64)
+               * np.asarray(Fcs, np.int64)[cls_f]
+               + fpos_f)
+        M_flat = np.full(base, F_B, np.int32)
+        E_flat = np.zeros(base, np.int32)
+        M_flat[tgt] = mval_f
+        E_flat[tgt] = e_f
+        mcs = [jnp.asarray(M_flat[bases[c]:bases[c] + npads[c] * Fcs[c]]
+                           .reshape(npads[c], Fcs[c]))
+               for c in range(len(widths))]
+        ents = [jnp.asarray(E_flat[bases[c]:bases[c] + npads[c] * Fcs[c]]
+                            .reshape(npads[c], Fcs[c]))
+                for c in range(len(widths))]
         extra = mcs + ents
         table = _ragged_table(B.col_ind, B.values,
                               jnp.asarray(frag_src.astype(np.int32)),
