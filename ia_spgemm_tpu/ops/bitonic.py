@@ -1145,7 +1145,7 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
 def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                    chunks: int, out_w: int, m: int, interpret: bool,
                    val_dtype, ragged: bool = False, cm: int = 1,
-                   assemble: str = "ell"):
+                   assemble: str = "ell", devplan: bool = False):
     """Build + jit the whole multi-class pipeline ONCE per static
     signature: one dispatch runs every class's expand + kernels and
     reassembles rows (the round-1 bucketed path paid one dispatch and one
@@ -1171,7 +1171,9 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
             src_start, oc_row = rest[-2], rest[-1]
             rest = rest[:-2]
         idxs = rest[:len(widths)]
-        if ragged:
+        if ragged and devplan:
+            b_len_d, startp_d = rest[len(widths):len(widths) + 2]
+        elif ragged:
             mcs = rest[len(widths):2 * len(widths)]
             ents = rest[2 * len(widths):3 * len(widths)]
         kt = table.shape[0] - 1
@@ -1185,11 +1187,17 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                 # M_c holds per-fragment table rows (F_B = sentinel);
                 # ENT_c holds per-fragment A-entry ordinals
                 F_c = kas[c]
+                if devplan:
+                    M_c, E_c = _device_fragments(
+                        a_col, b_len_d, startp_d, idx,
+                        run=run, F_c=F_c, F_B=kt, m=m)
+                else:
+                    M_c, E_c = mcs[c], ents[c]
                 av_c = jnp.take(a_val, idx, axis=0)
                 av_f = jnp.take_along_axis(
-                    av_c, jnp.clip(ents[c], 0, av_c.shape[1] - 1), axis=1)
+                    av_c, jnp.clip(E_c, 0, av_c.shape[1] - 1), axis=1)
                 if w <= TRANSPOSED_MAX_WIDTH:
-                    g = table[mcs[c].T.reshape(-1)].reshape(
+                    g = table[M_c.T.reshape(-1)].reshape(
                         F_c, counts[c], lanes)
                     col_c, val_c, nnz_c = _sort_compress_from_gather(
                         g, av_f.T, width=w, run=run, ka=F_c,
@@ -1202,7 +1210,7 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                     # terms and the rows-layout kernel takes over
                     # FLAT indices + reshape: the 3-D-output gather
                     # form measured ~50x slower on v5e
-                    g2 = table[mcs[c].reshape(-1)].reshape(
+                    g2 = table[M_c.reshape(-1)].reshape(
                         counts[c], kas[c], lanes)
                     par = (jax.lax.broadcasted_iota(
                         jnp.int32, (1, F_c, 1), 1) & 1) == 1
@@ -1337,20 +1345,24 @@ def _assemble_bcsr(cols_p, vals_p, nnz_p, idxs, src_start, oc_row,
 def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
                        out_width: int | None = None,
                        interpret: bool | None = None,
-                       assemble: str = "ell"):
+                       assemble: str = "ell",
+                       plan_device: bool = True):
     """Host-plan the width-class pipeline ONCE and return a zero-argument
-    callable that runs it (planning builds per-class index/fragment
-    matrices — O(nnz) host work worth amortizing across repeated calls,
-    like any format conversion). Returns None when not viable."""
+    callable that runs it. With plan_device (default) the host plans only
+    (m,)-sized class metadata; the nnz-sized fragment matrices build on
+    device inside the jitted pipeline. plan_device=False keeps the numpy
+    fragment build (the cross-check oracle). Returns None when not
+    viable."""
     return _multiclass_build(A, B, max_classes=max_classes,
                              out_width=out_width, interpret=interpret,
-                             assemble=assemble)
+                             assemble=assemble, plan_device=plan_device)
 
 
 def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
                               out_width: int | None = None,
                               interpret: bool | None = None,
-                              assemble: str = "ell"):
+                              assemble: str = "ell",
+                              plan_device: bool = True):
     """C = A @ B with per-row width classes sharing ONE jitted dispatch.
 
     A single global width pads every row to the LONGEST row's products;
@@ -1372,8 +1384,51 @@ def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
     Returns None when not viable (caller falls back to ESC)."""
     call = _multiclass_build(A, B, max_classes=max_classes,
                              out_width=out_width, interpret=interpret,
-                             assemble=assemble)
+                             assemble=assemble, plan_device=plan_device)
     return call() if call is not None else None
+
+
+def _device_fragments(a_col, b_len, startp, idx, *, run: int, F_c: int,
+                      F_B: int, m: int):
+    """Per-class fragment index matrices (M, ENT) built ON DEVICE.
+
+    M[r, p] = packed-table row of class-row r's p-th B-sub-run fragment
+    (F_B sentinel past the row's fragments); ENT[r, p] = in-row ordinal
+    of the A entry owning that fragment. Semantics identical to the
+    host-planned matrices.
+
+    Construction: each A entry's segment constant is scattered as a
+    TELESCOPING delta at the entry's per-row fragment offset, then a row
+    cumsum broadcasts it — consecutive entries landing on the same
+    offset cancel, so dead (left-justified) ELL slots and padding class
+    rows need no special-casing beyond zero fragment counts. One
+    nnz-sized scatter-add + (n_pad, F_c) cumsums replace seconds of
+    host numpy per plan (and make one-shot CSR-input calls viable)."""
+    n_pad = idx.shape[0]
+    ac = jnp.take(a_col, idx, axis=0)                   # (n_pad, ka) clip
+    row_ok = (idx < m)[:, None]
+    jc = jnp.clip(ac, 0, b_len.shape[0] - 1)
+    lens = jnp.maximum(b_len[jc], 0)
+    live = (ac >= 0) & row_ok
+    frag_e = jnp.where(live, jnp.maximum(-(-lens // run), 1), 0)
+    pref_end = jnp.cumsum(frag_e, axis=1)
+    pref = pref_end - frag_e                            # exclusive
+    F_rows = pref_end[:, -1:]                           # (n_pad, 1)
+    sM = startp[jc] - pref           # per-segment broadcast constants
+    sE = jax.lax.broadcasted_iota(jnp.int32, ac.shape, 1)
+    dM = sM - jnp.pad(sM[:, :-1], ((0, 0), (1, 0)))
+    dE = sE - jnp.pad(sE[:, :-1], ((0, 0), (1, 0)))
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, ac.shape, 0)
+    pos = jnp.minimum(pref, F_c)
+    gM = jnp.zeros((n_pad, F_c + 1), jnp.int32
+                   ).at[rows2, pos].add(dM, mode="drop")
+    gE = jnp.zeros((n_pad, F_c + 1), jnp.int32
+                   ).at[rows2, pos].add(dE, mode="drop")
+    p_io = jax.lax.broadcasted_iota(jnp.int32, (n_pad, F_c), 1)
+    valid = p_io < F_rows
+    M = jnp.where(valid, jnp.cumsum(gM[:, :F_c], axis=1) + p_io, F_B)
+    E = jnp.where(valid, jnp.cumsum(gE[:, :F_c], axis=1), 0)
+    return M, E
 
 
 @functools.partial(jax.jit, static_argnames=("run", "cm"))
@@ -1400,7 +1455,7 @@ def _ragged_table(b_col, b_val, frag_src, *, run: int, cm: int):
 
 def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
                       out_width: int | None, interpret: bool | None,
-                      assemble: str = "ell"):
+                      assemble: str = "ell", plan_device: bool = True):
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     if assemble not in ("ell", "bcsr"):
@@ -1415,9 +1470,9 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
         lens, B.max_nnz_per_row, max_classes=max_classes,
         a_col_dev=A.col_ind if f32 else None,
         b_len_dev=B.nnz_row if f32 else None)
-    # the fragment-matrix build below needs the host copies only when the
-    # ragged layout actually won
-    a_col_h = np.asarray(A.col_ind) if f32 and plan.ragged else None
+    # ragged planning needs only B's (m,) row lengths on the host; the
+    # nnz-sized fragment matrices build on device (plan_device, default)
+    # or via _host_fragments (the numpy cross-check oracle)
     b_len_h = (np.asarray(B.nnz_row).astype(np.int64)
                if f32 and plan.ragged else None)
     if not plan.viable:
@@ -1439,13 +1494,9 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
     extra = []
     if plan.ragged:
         cm = -(-max(B.max_nnz_per_row, 1) // run)
-        ka_in = a_col_h.shape[1]
-        e_live, j_live, len_live, rows_live, row_ptr = \
-            _compact_entries(a_col_h, b_len_h,
-                             a_len_h=np.asarray(A.nnz_row))
-        frag_live, F_rows = _frag_totals(len_live, row_ptr, run)
-        # non-empty fragment rows of the (k*cm, run) grid of B, plus a
-        # sentinel row appended by the jitted builder
+        # B's fragment prefix + the non-empty fragment rows of the
+        # (k*cm, run) grid of B (a sentinel row is appended by the
+        # jitted builder) — all m- or F_B-sized host work
         b_frag_cnt = np.maximum(-(-np.maximum(b_len_h, 0) // run),
                                 1).astype(np.int64)
         startp = np.concatenate([[0], np.cumsum(b_frag_cnt)])
@@ -1454,78 +1505,33 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
         within_b = np.arange(F_B) - np.repeat(startp[:-1], b_frag_cnt)
         frag_src = js * cm + within_b
 
-        # global fragment stream over the LIVE A entries (nnz-scaled,
-        # int32: python loops over nnz measured ~30x too slow on this
-        # host, the padded-grid vectorization ~25x more traffic than
-        # this, and int64 doubles every pass for values that fit int32):
-        F_total = int(frag_live.sum())
-        pref_live = (np.cumsum(frag_live) - frag_live).astype(np.int32)
-        # ONE repeat builds the fragment->entry map; everything else is
-        # an int32 gather through it (repeat measured ~2x a gather per
-        # element on this host)
-        src = np.repeat(np.arange(len(frag_live), dtype=np.int32),
-                        frag_live)
-        rows_f = rows_live[src]
-        e_f = e_live[src]
-        ar = np.arange(F_total, dtype=np.int32)
-        within = ar - pref_live[src]
-        sv = startp[j_live].astype(np.int32)             # (nnz,)
-        mval_f = np.where((len_live > 0)[src], sv[src] + within,
-                          np.int32(F_B))
-        # per-row fragment position: global stream index minus the row's
-        # first fragment's index (cs[row_ptr] = exclusive row prefix)
-        cs = np.concatenate([[0], np.cumsum(frag_live)])
-        row_base = cs[row_ptr[:-1]].astype(np.int32)
-        fpos_f = ar - row_base[rows_f]
-
-        # scatter the stream into every class's (n_pad, F_c) index
-        # matrix at once: ONE flat target index + two int32 scatters
-        # (per-class masked fancy-indexing made 3 extra F-sized passes
-        # per class)
-        class_rank = np.zeros(m, np.int32)
-        class_id = np.zeros(m, np.int8)
-        Fcs, npads, bases = [], [], []
-        base = 0
+        # per-class bookkeeping (m-sized)
         for c, w in enumerate(widths):
             idx = np.nonzero(W == w)[0]
             n_pad = cfg.bucket_capacity(max(len(idx), 1))
-            F_c = max(1, w // run)
-            class_id[idx] = c
-            class_rank[idx] = np.arange(len(idx), dtype=np.int32)
             pos[idx] = off + np.arange(len(idx))
             off += n_pad
             idxs.append(jnp.asarray(
                 np.pad(idx, (0, n_pad - len(idx)),
                        constant_values=m).astype(np.int32)))
             idx_h.append(idx)
-            kas.append(int(F_c))
+            kas.append(max(1, int(w) // run))
             counts.append(int(n_pad))
-            Fcs.append(F_c)
-            npads.append(n_pad)
-            bases.append(base)
-            base += n_pad * F_c
-        cls_f = class_id[rows_f]
-        tgt = (np.asarray(bases, np.int64)[cls_f]
-               + class_rank[rows_f].astype(np.int64)
-               * np.asarray(Fcs, np.int64)[cls_f]
-               + fpos_f)
-        M_flat = np.full(base, F_B, np.int32)
-        E_flat = np.zeros(base, np.int32)
-        M_flat[tgt] = mval_f
-        E_flat[tgt] = e_f
-        mcs = [jnp.asarray(M_flat[bases[c]:bases[c] + npads[c] * Fcs[c]]
-                           .reshape(npads[c], Fcs[c]))
-               for c in range(len(widths))]
-        ents = [jnp.asarray(E_flat[bases[c]:bases[c] + npads[c] * Fcs[c]]
-                            .reshape(npads[c], Fcs[c]))
-                for c in range(len(widths))]
-        extra = mcs + ents
+        if plan_device:
+            # fragment index matrices built ON DEVICE inside the jitted
+            # pipeline (_device_fragments) — no nnz-sized host work
+            extra = [jnp.asarray(b_len_h.astype(np.int32)),
+                     jnp.asarray(startp.astype(np.int32))]
+        else:
+            extra = _host_fragments(A, b_len_h, widths, run,
+                                    startp, F_B, idx_h, kas, counts)
         table = _ragged_table(B.col_ind, B.values,
                               jnp.asarray(frag_src.astype(np.int32)),
                               run=run, cm=cm)
         fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
                             run, 0, out_w, m, interpret,
-                            jnp.dtype(A.values.dtype), True, cm, assemble)
+                            jnp.dtype(A.values.dtype), True, cm,
+                            assemble, plan_device)
     else:
         per_entry = chunks * run
         for w in widths:
@@ -1550,6 +1556,81 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
         fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
                             run, chunks, out_w, m, interpret,
                             jnp.dtype(A.values.dtype), False, 1, assemble)
+    return _finish_build(A, B, fn, assemble, widths, counts, idx_h,
+                         pos, out_w, m, idxs, extra, table)
+
+
+def _host_fragments(A, b_len_h, widths, run, startp, F_B,
+                    idx_h, kas, counts):
+    """Host-numpy fragment matrices (the pre-device-planning path, kept
+    as the cross-check oracle for _device_fragments): build the global
+    fragment stream over the LIVE A entries and scatter it into every
+    class's (n_pad, F_c) matrix at once."""
+    a_col_h = np.asarray(A.col_ind)
+    m = a_col_h.shape[0]
+    e_live, j_live, len_live, rows_live, row_ptr = \
+        _compact_entries(a_col_h, b_len_h,
+                         a_len_h=np.asarray(A.nnz_row))
+    frag_live, F_rows = _frag_totals(len_live, row_ptr, run)
+
+    # global fragment stream over the LIVE A entries (nnz-scaled,
+    # int32: python loops over nnz measured ~30x too slow on this
+    # host, the padded-grid vectorization ~25x more traffic than
+    # this, and int64 doubles every pass for values that fit int32):
+    F_total = int(frag_live.sum())
+    pref_live = (np.cumsum(frag_live) - frag_live).astype(np.int32)
+    # ONE repeat builds the fragment->entry map; everything else is
+    # an int32 gather through it (repeat measured ~2x a gather per
+    # element on this host)
+    src = np.repeat(np.arange(len(frag_live), dtype=np.int32),
+                    frag_live)
+    rows_f = rows_live[src]
+    e_f = e_live[src]
+    ar = np.arange(F_total, dtype=np.int32)
+    within = ar - pref_live[src]
+    sv = startp[j_live].astype(np.int32)             # (nnz,)
+    mval_f = np.where((len_live > 0)[src], sv[src] + within,
+                      np.int32(F_B))
+    # per-row fragment position: global stream index minus the row's
+    # first fragment's index (cs[row_ptr] = exclusive row prefix)
+    cs = np.concatenate([[0], np.cumsum(frag_live)])
+    row_base = cs[row_ptr[:-1]].astype(np.int32)
+    fpos_f = ar - row_base[rows_f]
+
+    # scatter the stream into every class's (n_pad, F_c) index
+    # matrix at once: ONE flat target index + two int32 scatters
+    # (per-class masked fancy-indexing made 3 extra F-sized passes
+    # per class). kas[c] IS F_c in ragged mode.
+    class_rank = np.zeros(m, np.int32)
+    class_id = np.zeros(m, np.int8)
+    bases = np.concatenate([[0], np.cumsum(
+        [counts[c] * kas[c] for c in range(len(widths))])]).astype(np.int64)
+    for c in range(len(widths)):
+        class_id[idx_h[c]] = c
+        class_rank[idx_h[c]] = np.arange(len(idx_h[c]), dtype=np.int32)
+    cls_f = class_id[rows_f]
+    tgt = (bases[:-1][cls_f]
+           + class_rank[rows_f].astype(np.int64)
+           * np.asarray(kas, np.int64)[cls_f]
+           + fpos_f)
+    base = int(bases[-1])
+    M_flat = np.full(base, F_B, np.int32)
+    E_flat = np.zeros(base, np.int32)
+    M_flat[tgt] = mval_f
+    E_flat[tgt] = e_f
+    mcs = [jnp.asarray(M_flat[bases[c]:bases[c + 1]]
+                       .reshape(counts[c], kas[c]))
+           for c in range(len(widths))]
+    ents = [jnp.asarray(E_flat[bases[c]:bases[c + 1]]
+                        .reshape(counts[c], kas[c]))
+            for c in range(len(widths))]
+    return mcs + ents
+
+
+def _finish_build(A, B, fn, assemble, widths, counts, idx_h, pos,
+                  out_w, m, idxs, extra, table):
+    """Shared tail of _multiclass_build: bcsr assembly maps (host,
+    m-sized), arg packing, and the zero-argument runner."""
     if assemble == "bcsr":
         ocs = [min(out_w, int(w)) for w in widths]
         nblk = [counts[c] * ocs[c] // 128 for c in range(len(widths))]
