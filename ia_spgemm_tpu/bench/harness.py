@@ -232,11 +232,22 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
     ratio = config.size_guard_ratio
 
     if name == "csr":
-        plan = esc.plan_spgemm(A, B, bucket=config.bucket_capacities)
-        convert_fn = None
+        # tiled width-class route when viable (Pallas tile sorters,
+        # BlockCSR out); global-sort/sliced ESC otherwise. Planning —
+        # symbolic pass or ELL conversion + class plan — is setup,
+        # reported as trans time like every format conversion.
+        def convert_fn():
+            t = esc.plan_csr_tiled(A, B)
+            if t is not None:
+                return ("tiled", t)
+            return ("esc", esc.plan_spgemm(
+                A, B, bucket=config.bucket_capacities))
 
-        def compute(ab=(A, B)):
-            return esc.spgemm_csr(ab[0], ab[1], plan)
+        def compute(ab):
+            kind, x = ab
+            if kind == "tiled":
+                return x()
+            return esc.spgemm_csr(A, B, x)
     elif name == "compensated":
         # double-double accumulation: fp64-grade sums from f32 operands
         if A.dtype != np.float32 or \
@@ -385,15 +396,15 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         return None
     res.run_time_ms = _time_ms(run_once, warmup=0, iters=iters)
     res.verified_sum = float(C.checksum())
-    if name in ("csr", "coo", "compensated"):
+    from ia_spgemm_tpu.formats.types import BlockCSR
+    if isinstance(C, BlockCSR):
+        res.memory_bytes = float(C.padded_bytes())
+    elif name in ("csr", "coo", "compensated"):
         res.memory_bytes = (convert.sizeof_coo(C.nrows, int(C.nnz))
                             if name == "coo"
                             else convert.sizeof_csr(C.nrows, int(C.nnz)))
     elif name in ("ell", "bitonic"):
-        from ia_spgemm_tpu.formats.types import BlockCSR
-        res.memory_bytes = (float(C.padded_bytes())
-                            if isinstance(C, BlockCSR) else
-                            convert.sizeof_ell(C.nrows, C.max_nnz_per_row))
+        res.memory_bytes = convert.sizeof_ell(C.nrows, C.max_nnz_per_row)
     elif name == "dia":
         res.memory_bytes = convert.sizeof_dia(C.nrows, C.ncols,
                                               C.num_diagonals)

@@ -512,6 +512,68 @@ def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None) -> CSR:
                shape=(A.nrows, B.ncols))
 
 
+# padded ELL slots allowed per operand for the tiled route (256M slots
+# = 2 GB of col+val at f32) — beyond this the conversion itself would
+# crowd the 16 GB HBM before the product tiles are even allocated
+TILED_ELL_BUDGET_ELEMS = 1 << 28
+
+
+def plan_csr_tiled(A: CSR, B: CSR, *, out_width: int | None = None):
+    """Plan the tiled CSR route ONCE: ELL-convert on device, plan the
+    width classes, and return a zero-argument runner producing a
+    128-aligned BlockCSR — or None when the route is not viable
+    (non-f32, an operand blows the ELL slot budget, or a row's products
+    exceed the class planner's width/budget caps).
+
+    The conversion + class planning here is the tiled analogue of
+    plan_spgemm's symbolic phase: one-time setup amortized across calls,
+    reported by the harness as trans time."""
+    if A.ncols != B.nrows:
+        raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    if (A.values.dtype != jnp.float32
+            or B.values.dtype != jnp.float32):
+        return None
+    from ia_spgemm_tpu.formats import convert
+    from ia_spgemm_tpu.ops import bitonic
+    ka = convert.plan_ell_width(A)
+    kb = convert.plan_ell_width(B)
+    if (A.nrows * max(ka, 1) > TILED_ELL_BUDGET_ELEMS
+            or B.nrows * max(kb, 1) > TILED_ELL_BUDGET_ELEMS):
+        return None
+    A_ell = convert.csr_to_ell(A, width=ka, check_guard=False)
+    B_ell = convert.csr_to_ell(B, width=kb, check_guard=False)
+    return bitonic.multiclass_planned(
+        A_ell, B_ell, assemble="bcsr", out_width=out_width)
+
+
+def spgemm_csr_tiled(A: CSR, B: CSR, *, out_width: int | None = None):
+    """CSR-in width-class SpGEMM: sort each row's products at its own
+    pow2 width through the Pallas bitonic networks (ops/bitonic.py),
+    emit 128-aligned BlockCSR.
+
+    Same expand-sort-compress contract as spgemm_csr, but per-row tiles
+    replace the global jax.lax.sort over the flat 2*E stream (measured
+    ~25x off HBM bandwidth at multi-million E on v5e — the reference's
+    Thrust ESC, csr_dev/common_csr_dev.h:134-254, leans on exactly such
+    global sorts because GPU merge sorts are fast; TPU-first means
+    keeping the sort inside VMEM tiles). Returns None when not viable —
+    callers fall back to the global-sort / sliced spgemm_csr."""
+    call = plan_csr_tiled(A, B, out_width=out_width)
+    return call() if call is not None else None
+
+
+def spgemm_csr_auto(A: CSR, B: CSR, plan: SpGEMMPlan | None = None):
+    """Production CSR @ CSR entry point: the tiled width-class kernel
+    when viable, the global-sort (or workspace-sliced) ESC otherwise —
+    the reference's CSR_MUL_CSR role (csr/common_csr.h:85-193) with the
+    kernel choice made internally. Returns BlockCSR on the tiled route,
+    CSR otherwise; both satisfy the checksum/to_scipy result contract."""
+    C = spgemm_csr_tiled(A, B)
+    if C is not None:
+        return C
+    return spgemm_csr(A, B, plan)
+
+
 # ---------------------------------------------------------------------------
 # Compensated (double-double) variant — fp64-grade accumulation on f32 TPUs
 # ---------------------------------------------------------------------------

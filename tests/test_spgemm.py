@@ -337,3 +337,67 @@ def test_sliced_esc_int32_overflow_expansion_completes():
     want = float(kb) * dup * (m_a * (m_a + 1) // 2)
     got = float(np.sum(np.asarray(C.values, np.float64)))
     assert abs(got - want) / want < 1e-6
+
+
+def _assert_matches_f32(ours_sp, want):
+    got = ours_sp.tocsr()
+    got.sum_duplicates()
+    got.sort_indices()
+    assert got.shape == want.shape
+    d = abs(got - want)
+    scale = max(1.0, abs(want).max() if want.nnz else 0.0)
+    assert (d.max() if d.nnz else 0.0) < 1e-5 * scale
+
+
+@pytest.mark.parametrize("name,a,b", _pairs())
+def test_spgemm_csr_auto(name, a, b):
+    """The production csr entry (tiled width-class route when viable,
+    global-sort ESC otherwise) matches the oracle on every fixture."""
+    A = CSR.from_scipy(a.astype(np.float32))
+    B = CSR.from_scipy(b.astype(np.float32))
+    C = esc.spgemm_csr_auto(A, B)
+    _assert_matches_f32(C.to_scipy(), _oracle(a, b).astype(np.float32))
+
+
+def test_spgemm_csr_tiled_skew_and_fallbacks():
+    """Tiled route: viable on a B-skewed f32 case (returns BlockCSR);
+    declines on fp64 (the global-sort path keeps segment_sum order)."""
+    from ia_spgemm_tpu.formats.types import BlockCSR
+    rng = np.random.default_rng(31)
+    m = 200
+    rows, cols, vals = [], [], []
+    for r in range(m):
+        ln = 80 if r % 50 == 0 else int(rng.integers(1, 6))
+        cs = rng.choice(m, size=ln, replace=False)
+        rows += [r] * ln
+        cols += cs.tolist()
+        vals += rng.standard_normal(ln).tolist()
+    a = sp.coo_matrix((vals, (rows, cols)), shape=(m, m)).tocsr()
+    A32 = CSR.from_scipy(a.astype(np.float32))
+    C = esc.spgemm_csr_tiled(A32, A32)
+    assert isinstance(C, BlockCSR)
+    _assert_matches_f32(C.to_scipy(), _oracle(a, a).astype(np.float32))
+    # fp64 falls back (tiled declines); auto still answers via ESC
+    A64 = CSR.from_scipy(a.astype(np.float64))
+    assert esc.plan_csr_tiled(A64, A64) is None
+    C64 = esc.spgemm_csr_auto(A64, A64)
+    assert not isinstance(C64, BlockCSR)
+    _assert_matches(C64.to_scipy(), _oracle(a, a))
+
+
+def test_plan_csr_tiled_budget_guard():
+    """An operand whose padded ELL form exceeds the slot budget makes the
+    tiled planner decline rather than allocate it."""
+    # one dense-ish row of 3000 among 50k rows: m * K = 1.5e8 slots is
+    # fine, but shrink the budget to force the guard
+    rng = np.random.default_rng(7)
+    m = 64
+    a = sp.random(m, m, density=0.2, random_state=7, format="csr")
+    A = CSR.from_scipy(a.astype(np.float32))
+    import ia_spgemm_tpu.ops.esc as esc_mod
+    orig = esc_mod.TILED_ELL_BUDGET_ELEMS
+    try:
+        esc_mod.TILED_ELL_BUDGET_ELEMS = 8
+        assert esc_mod.plan_csr_tiled(A, A) is None
+    finally:
+        esc_mod.TILED_ELL_BUDGET_ELEMS = orig
