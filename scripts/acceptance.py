@@ -68,6 +68,15 @@ def headline_rooflines():
                              int(A.nnz), int(C.nnz))
     out["esc_csr"] = roofline.analyze(r["median_ms"], cost)
 
+    # the PRODUCTION csr path (tiled width-class route when viable) —
+    # plan once like the harness does, time the steady-state kernel
+    tiled = esc.plan_csr_tiled(A, A)
+    if tiled is not None:
+        r = profiling.time_op(tiled, iters=5)
+        out["esc_auto_tiled"] = roofline.analyze(r["median_ms"], cost)
+        out["esc_auto_tiled"]["vs_global_sort"] = round(
+            out["esc_csr"]["time_ms"] / r["median_ms"], 2)
+
     A_ell = convert.csr_to_ell(A, check_guard=False)
     bplan = bitonic.plan_bitonic(A_ell, A_ell)
     if bplan.viable:
