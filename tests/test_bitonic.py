@@ -381,3 +381,26 @@ def test_multiclass_bcsr_out_width_cap():
         wr = want.getrow(int(r))
         d = abs(gr - wr)
         assert (d.max() if d.nnz else 0.0) < 1e-4
+
+
+def test_multiclass_plan_device_matches_host():
+    """_device_fragments (telescoping scatter-add + row cumsums) produces
+    the SAME results as the host-numpy fragment oracle, for both
+    assemblies, on a ragged B-skew case."""
+    a = _skewed(29, 224, heavy_every=56, heavy=120, light=5)
+    A = _ell(a)
+    plan, _ = bitonic.plan_multiclass(
+        np.asarray(A.nnz_row), A.max_nnz_per_row,
+        a_col_h=np.asarray(A.col_ind),
+        b_len_h=np.asarray(A.nnz_row).astype(np.int64))
+    assert plan.ragged
+    for asm in ("ell", "bcsr"):
+        C_dev = bitonic.spgemm_bitonic_multiclass(
+            A, A, assemble=asm, plan_device=True)
+        C_host = bitonic.spgemm_bitonic_multiclass(
+            A, A, assemble=asm, plan_device=False)
+        assert np.array_equal(np.asarray(C_dev.nnz_row),
+                              np.asarray(C_host.nnz_row))
+        d = abs(C_dev.to_scipy() - C_host.to_scipy())
+        assert (d.max() if d.nnz else 0.0) == 0.0
+        _check(a, a, C_dev)

@@ -163,3 +163,26 @@ def test_harness_bitonic_ragged_bskew():
     base = rep.by_name("baseline")
     assert abs(r.verified_sum - base.verified_sum) <= 1e-4 * max(
         1.0, abs(base.verified_sum))
+
+
+def test_harness_csr_tiled_route():
+    """The csr algorithm takes the tiled width-class route on a viable
+    f32 input: result verifies vs baseline and memory reports the
+    BlockCSR padded footprint."""
+    import scipy.sparse as sp
+    from ia_spgemm_tpu.bench import harness
+    from ia_spgemm_tpu.formats.types import CSR
+    rng = np.random.default_rng(41)
+    m = 160
+    a = sp.random(m, m, density=0.06, random_state=41, format="csr")
+    A = CSR.from_scipy(a.astype(np.float32))
+    rep = harness.run_benchmark(A, A, ("baseline", "csr"), iters=1)
+    res = {r.name: r for r in rep.results}
+    assert res["csr"].ok
+    base = res["baseline"].verified_sum
+    assert abs(res["csr"].verified_sum - base) <= 1e-4 * max(1.0, abs(base))
+    # padded BlockCSR bytes: at least nnz * 8 and a multiple of row
+    # block alignment is reflected (>= exact CSR bytes)
+    from ia_spgemm_tpu.formats import convert
+    c_nnz = (a @ a).nnz
+    assert res["csr"].memory_bytes >= convert.sizeof_csr(m, c_nnz) - 4 * (m + 1)
