@@ -112,10 +112,12 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
             if plan.viable:
                 C = bt_ops.spgemm_bitonic(Ae, Be, plan)
             else:
-                C = bt_ops.spgemm_bitonic_bucketed(Ae, Be)
+                # skewed rows: width classes with block-aligned CSR out
+                C = bt_ops.spgemm_bitonic_multiclass(Ae, Be,
+                                                     assemble="bcsr")
             if C is None:
                 C = ell_ops.spgemm_ell(Ae, Be)
-            return convert.ell_to_csr(C), sel
+            return _as_csr(C), sel
         algo = "csr"
     if algo == "coo":
         C = esc.spgemm_coo(convert.csr_to_coo(A), convert.csr_to_coo(B))
@@ -127,9 +129,10 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
         Be = convert.csr_to_ell(B, check_guard=False)
         plan = bt_ops.plan_bitonic(Ae, Be)
         C = (bt_ops.spgemm_bitonic(Ae, Be, plan) if plan.viable
-             else bt_ops.spgemm_bitonic_bucketed(Ae, Be))
+             else bt_ops.spgemm_bitonic_multiclass(Ae, Be,
+                                                   assemble="bcsr"))
         if C is not None:
-            return convert.ell_to_csr(C), sel
+            return _as_csr(C), sel
         algo = "csr"
     if algo == "compensated":
         try:
@@ -139,4 +142,15 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
     if algo == "baseline" and A.nrows * B.ncols <= 4 * 1024 * 1024:
         C = dense_ops.spgemm_dense(A, B)
         return convert.dense_to_csr(C), sel
-    return esc.spgemm_csr(A, B), sel
+    return _as_csr(esc.spgemm_csr_auto(A, B)), sel
+
+
+def _as_csr(C):
+    """spgemm_auto's contract is an exact CSR result; the tiled routes
+    return BlockCSR (128-aligned) which converts with one flat scatter."""
+    from ia_spgemm_tpu.formats.types import BlockCSR
+    if isinstance(C, BlockCSR):
+        return convert.bcsr_to_csr(C)
+    if hasattr(C, "max_nnz_per_row"):        # ELL
+        return convert.ell_to_csr(C)
+    return C

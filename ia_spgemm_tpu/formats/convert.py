@@ -170,6 +170,38 @@ def ell_to_csr(A: ELL) -> CSR:
                nnz=A.nnz, shape=A.shape)
 
 
+def bcsr_to_csr(A) -> CSR:
+    """BlockCSR -> exact CSR: undo the 128-lane row alignment with one
+    flat scatter of the used block slots to their compact positions
+    (the same dst-scatter shape as ell_to_csr above)."""
+    from ia_spgemm_tpu.formats.types import BlockCSR
+    assert isinstance(A, BlockCSR)
+    nb = A.capacity_blocks
+    m = A.nrows
+    nnz_row = A.nnz_row
+    row_ptr = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(nnz_row).astype(jnp.int32)])
+    # block b's row: #rows whose block span ended at or before b
+    marks = jnp.zeros((nb + 1,), jnp.int32
+                      ).at[A.blk_ptr[1:]].add(1, mode="drop")
+    row_of = jnp.cumsum(marks[:nb])              # == m past the used end
+    rc = jnp.minimum(row_of, max(m - 1, 0))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nb, 128), 1)
+    inrow = (jax.lax.iota(jnp.int32, nb)
+             - A.blk_ptr[rc])[:, None] * 128 + lane
+    valid = (row_of < m)[:, None] & (inrow < nnz_row[rc][:, None])
+    cap = max(nb * 128, 1)
+    dst = jnp.where(valid, row_ptr[rc][:, None] + inrow, cap)
+    col = jnp.full(cap + 1, A.ncols, dtype=jnp.int32)
+    val = jnp.zeros(cap + 1, dtype=A.val_blocks.dtype)
+    col = col.at[dst.reshape(-1)].set(
+        jnp.where(valid, A.col_blocks, A.ncols).reshape(-1), mode="drop")
+    val = val.at[dst.reshape(-1)].set(
+        jnp.where(valid, A.val_blocks, 0).reshape(-1), mode="drop")
+    return CSR(row_ptr=row_ptr, col_ind=col[:cap], values=val[:cap],
+               nnz=A.nnz, shape=A.shape)
+
+
 # --------------------------------------------------------------------------
 # CSR -> DIA (dia/common_dia.h:29-96 CSRtoDIA)
 # --------------------------------------------------------------------------

@@ -102,3 +102,28 @@ def test_viability_guard_rejects_hyper_sparse_dia():
     assert convert.csr_to_dia(A) is None
     # CSR-sized formats stay viable
     assert convert.coo_viable(n, int(A.nnz))
+
+
+def test_bcsr_to_csr_roundtrip():
+    """BlockCSR -> CSR conversion compacts the 128-aligned blocks into
+    exact CSR positions (scipy-equal)."""
+    import scipy.sparse as sp
+    from ia_spgemm_tpu.formats import convert
+    from ia_spgemm_tpu.formats.types import CSR
+    from ia_spgemm_tpu.ops import esc
+    rng = np.random.default_rng(33)
+    m = 150
+    a = sp.random(m, m, density=0.07, random_state=33, format="csr")
+    A = CSR.from_scipy(a.astype(np.float32))
+    Cb = esc.spgemm_csr_tiled(A, A)
+    assert Cb is not None
+    C = convert.bcsr_to_csr(Cb)
+    got = C.to_scipy().tocsr()
+    want = Cb.to_scipy().tocsr()
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) == 0.0
+    assert int(C.nnz) == int(Cb.nnz)
+    # row_ptr is exact (no padding slots between rows)
+    assert np.array_equal(np.asarray(C.row_ptr),
+                          np.concatenate([[0], np.cumsum(
+                              np.asarray(Cb.nnz_row))]))
