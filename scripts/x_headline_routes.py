@@ -1,0 +1,82 @@
+"""Measure the headline workload across kernel routes (one JSON line each).
+
+Routes:
+  flat      — spgemm_bitonic with the observed out_width cap (today's bench.py)
+  flat_sparse — same, compact=False (no compaction stages)
+  mc_bcsr   — multiclass width classes, BlockCSR assembly (the csr tiled route)
+  mc_ell    — multiclass width classes, unified-ELL assembly
+  esc       — global-sort ESC (reference point)
+
+NOTES round-3 lever #2: 45% of headline rows fit width 512; the class route
+sorts them there instead of the flat plan's global width. This script decides
+whether bench.py's headline flips to the multiclass route.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import bench as hb
+    from ia_spgemm_tpu.bench import profiling
+    from ia_spgemm_tpu.cli.main import enable_compilation_cache
+    from ia_spgemm_tpu.formats import convert
+    from ia_spgemm_tpu.formats.types import CSR
+    from ia_spgemm_tpu.ops import bitonic, esc
+
+    enable_compilation_cache()
+    a = hb.build_matrix()
+    A = CSR.from_scipy(a.astype(np.float32))
+    ref_sum = float((a @ a).sum())
+    A_ell = convert.csr_to_ell(A, check_guard=False)
+
+    def report(name, run, plan_s=None):
+        t0 = time.perf_counter()
+        C = jax.block_until_ready(run())
+        first_ms = (time.perf_counter() - t0) * 1e3
+        dev = profiling.device_time_ms(run, chain=8)["device_ms"]
+        rel = abs(float(C.checksum()) - ref_sum) / max(1.0, abs(ref_sum))
+        print(json.dumps({
+            "route": name, "device_ms": round(dev, 3),
+            "first_ms": round(first_ms, 1),
+            "plan_s": round(plan_s, 2) if plan_s is not None else None,
+            "nnz": int(C.nnz), "rel_err": rel}), flush=True)
+
+    # flat bitonic with steady-state out_width (bench.py's current route)
+    bt_plan = bitonic.plan_bitonic(A_ell, A_ell)
+    if bt_plan.viable:
+        C0 = jax.block_until_ready(bitonic.spgemm_bitonic(A_ell, A_ell,
+                                                          bt_plan))
+        out_w = 128
+        max_nnz = int(np.max(np.asarray(C0.nnz_row)))
+        while out_w < max_nnz:
+            out_w *= 2
+        out_w = min(out_w, bt_plan.width)
+        report("flat", lambda: bitonic.spgemm_bitonic(
+            A_ell, A_ell, bt_plan, out_width=out_w))
+        report("flat_sparse", lambda: bitonic.spgemm_bitonic(
+            A_ell, A_ell, bt_plan, compact=False))
+
+    t0 = time.perf_counter()
+    call = bitonic.multiclass_planned(A_ell, A_ell, assemble="bcsr",
+                                      out_width=out_w)
+    plan_s = time.perf_counter() - t0
+    if call is not None:
+        report("mc_bcsr", call, plan_s)
+    t0 = time.perf_counter()
+    call = bitonic.multiclass_planned(A_ell, A_ell, assemble="ell",
+                                      out_width=out_w)
+    plan_s = time.perf_counter() - t0
+    if call is not None:
+        report("mc_ell", call, plan_s)
+
+    esc_plan = esc.plan_spgemm(A, A)
+    report("esc", lambda: esc.spgemm_csr(A, A, esc_plan))
+
+
+if __name__ == "__main__":
+    main()
