@@ -33,11 +33,15 @@ def _info1(row_ptr, nnz, ncols: int):
     # Reference divides by (row - 1) — sample variance (csr/common_csr.h:281).
     var = jnp.sum((nnz_row - mean) ** 2) / jnp.maximum(m - 1, 1)
     cv = jnp.sqrt(var) / mean
+    # density denominator in FLOAT: ncols is a traced int32 here, so an
+    # integer m * ncols wraps at m = n = 65536 (2^32 -> 0 -> inf density;
+    # poisoned a harvest checkpoint before being caught)
+    ncolsf = jnp.asarray(ncols, nnz_row.dtype)
     return jnp.stack([
         jnp.asarray(m, nnz_row.dtype),
-        jnp.asarray(ncols, nnz_row.dtype),
+        ncolsf,
         nnzf,
-        nnzf / (m * ncols),
+        nnzf / (m * ncolsf),
         maxr, minr, mean, var, cv])
 
 
@@ -59,7 +63,7 @@ def get_info3(A: ELL) -> jax.Array:
     m, _ = A.shape
     K = A.max_nnz_per_row
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    return jnp.asarray([A.nnz.astype(dt) / (m * K)])
+    return jnp.asarray([A.nnz.astype(dt) / (float(m) * max(int(K), 1))])
 
 
 def feature_vector(A: CSR, B: CSR,

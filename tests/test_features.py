@@ -116,3 +116,16 @@ def test_density_image_file_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, np.asarray(img))
     # file layout: one value per line, 16384 lines (MatNet.py:12-20)
     assert len(p.read_text().splitlines()) == 128 * 128
+
+
+def test_get_info1_density_no_int32_overflow():
+    """Regression: ncols traces as an int32 scalar inside _info1's jit, so
+    an integer m * ncols product wrapped at m = n = 65536 (2^32 -> 0 ->
+    inf density). Two such samples poisoned a harvest checkpoint. The
+    denominator must be computed in float."""
+    import jax.numpy as jnp
+    m = 65536
+    row_ptr = jnp.asarray(np.arange(m + 1, dtype=np.int32) * 3)
+    f = np.asarray(features._info1(row_ptr, jnp.int32(3 * m), np.int32(m)))
+    assert np.isfinite(f).all()
+    np.testing.assert_allclose(f[3], (3 * m) / (float(m) * m), rtol=1e-6)

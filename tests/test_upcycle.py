@@ -65,3 +65,21 @@ def test_harvest_and_upcycle_roundtrip(tmp_path):
     acc = upcycle.evaluate_pick_accuracy(params, samples,
                                          menu=("baseline", "csr"))
     assert 0.0 <= acc <= 1.0
+
+
+def test_load_samples_rejects_nonfinite_features(tmp_path):
+    """A single inf/nan feature silently destroys training (measured:
+    in-sample accuracy 0.97 -> 0.05 with two inf-density samples);
+    load_samples must fail loudly naming the bad samples."""
+    s = upcycle.Sample(img1=np.zeros((128, 128), np.float32),
+                       img2=np.zeros((128, 128), np.float32),
+                       feats=np.zeros(26, np.float64),
+                       label=0, winner="csr", matrix_name="good")
+    bad_feats = np.zeros(26, np.float64)
+    bad_feats[3] = np.inf
+    b = upcycle.Sample(img1=s.img1, img2=s.img2, feats=bad_feats,
+                       label=1, winner="coo", matrix_name="poisoned")
+    p = str(tmp_path / "samples.npz")
+    upcycle.save_samples(p, [s, b])
+    with pytest.raises(ValueError, match="poisoned"):
+        upcycle.load_samples(p)
