@@ -1,8 +1,13 @@
 """Headline benchmark — prints ONE JSON line.
 
-Workload: double... single-precision CSR SpGEMM C = A @ A (the reference's
-default workload, README.md:10) on a synthetic SuiteSparse-like banded+random
-matrix, on one TPU chip via the ESC kernel.
+Workload: single-precision CSR SpGEMM C = A @ A (the reference's default
+workload, README.md:10) on a synthetic SuiteSparse-like banded+random
+matrix, on one TPU chip.
+
+Like the reference driver (main.cpp:709-952), the harness RUNS EVERY
+candidate route and reports the winner: the flat bitonic kernel, the
+width-class multiclass kernel (per-row pow2 widths, BlockCSR output),
+and the global-sort ESC fallback.
 
 metric:      SpGEMM GFLOPS (2 * intermediate_products / time, the
              reference's formula, main.cpp:989)
@@ -13,6 +18,7 @@ vs_baseline: speedup over scipy.sparse CSR@CSR on the host — the same
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -36,9 +42,18 @@ def build_matrix(m=32768, band=4, extra_per_row=8, seed=0):
     return out
 
 
+def _observed_out_width(nnz_row, cap):
+    out_w = 128
+    mx = int(np.max(np.asarray(nnz_row)))
+    while out_w < mx:
+        out_w *= 2
+    return min(out_w, cap)
+
+
 def main():
     import jax
 
+    from ia_spgemm_tpu.bench import profiling, roofline
     from ia_spgemm_tpu.cli.main import enable_compilation_cache
     from ia_spgemm_tpu.formats import convert
     from ia_spgemm_tpu.formats.types import CSR
@@ -46,7 +61,8 @@ def main():
 
     enable_compilation_cache()
 
-    a = build_matrix()
+    smoke = os.environ.get("IA_SPGEMM_BENCH_SMOKE") == "1"
+    a = build_matrix(m=512) if smoke else build_matrix()
     A = CSR.from_scipy(a.astype(np.float32))
     esc_plan = esc.plan_spgemm(A, A)
 
@@ -58,73 +74,82 @@ def main():
         a @ a
         scipy_times.append((time.perf_counter() - t0) * 1e3)
     scipy_ms = float(np.median(scipy_times))
+    ref_sum = float(c_ref.sum())
 
-    # --- ours: row-local bitonic kernel (ELL pair), ESC fallback ---
+    # --- candidate routes (the reference's run-all-candidates harness) ---
     A_ell = convert.csr_to_ell(A, check_guard=False)
+    routes = {}   # name -> (run_fn, cost_model)
+
+    def measure(name, run, cost):
+        C = jax.block_until_ready(run())  # compile + first run
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            times.append((time.perf_counter() - t0) * 1e3)
+        wall = float(np.median(times))
+        device = profiling.device_time_ms(run, chain=8)["device_ms"]
+        rel = abs(float(C.checksum()) - ref_sum) / max(1.0, abs(ref_sum))
+        routes[name] = {"run": run, "C": C, "wall_ms": wall,
+                        "device_ms": device, "cost": cost,
+                        "checksum_rel_err": rel}
+
+    # flat bitonic at the steady-state output-width cap
     bt_plan = bitonic.plan_bitonic(A_ell, A_ell)
     if bt_plan.viable:
-        algorithm = "bitonic"
-
-        # steady state: the first run discovers nnz(C) per row; repeat
-        # runs cap the compress kernel's output width to the observed
-        # pow2 bound (iterated solvers/benchmarks reuse the same shapes)
         C0 = jax.block_until_ready(
             bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan))
-        out_w = 128
-        max_nnz = int(np.max(np.asarray(C0.nnz_row)))
-        while out_w < max_nnz:
-            out_w *= 2
-        out_w = min(out_w, bt_plan.width)
+        out_w = _observed_out_width(C0.nnz_row, bt_plan.width)
+        measure("bitonic",
+                lambda: bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
+                                               out_width=out_w),
+                roofline.cost_bitonic(A.nrows, bt_plan.width, int(A.nnz)))
 
-        def run():
-            return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
-                                          out_width=out_w)
-    else:
-        algorithm = "esc"
+    # width-class multiclass (per-row pow2 widths), BlockCSR output
+    mc_plan, W = bitonic.plan_multiclass(
+        np.asarray(A_ell.nnz_row), A_ell.max_nnz_per_row,
+        a_col_dev=A_ell.col_ind, b_len_dev=A_ell.nnz_row)
+    if mc_plan.viable:
+        call0 = bitonic.multiclass_planned(A_ell, A_ell, assemble="bcsr")
+        if call0 is not None:
+            Cm = jax.block_until_ready(call0())
+            out_w_mc = _observed_out_width(Cm.nnz_row,
+                                           int(mc_plan.widths[-1]))
+            call = bitonic.multiclass_planned(A_ell, A_ell,
+                                              assemble="bcsr",
+                                              out_width=out_w_mc)
+            class_rows = [(int((W == w).sum()), int(w))
+                          for w in np.unique(W)]
+            measure("multiclass", call,
+                    roofline.cost_multiclass(class_rows, int(A.nnz),
+                                             int(Cm.nnz)))
 
-        def run():
-            return esc.spgemm_csr(A, A, esc_plan)
+    # global-sort ESC (always viable; the fallback every route rests on)
+    if not routes or smoke:
+        measure("esc", lambda: esc.spgemm_csr(A, A, esc_plan),
+                roofline.cost_esc(esc_plan.expansion_capacity,
+                                  int(A.nnz), int(A.nnz), int(c_ref.nnz)))
 
-    C = jax.block_until_ready(run())  # compile + first run
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run())
-        times.append((time.perf_counter() - t0) * 1e3)
-    ours_ms = float(np.median(times))
-
-    # pure device time (the ~28 ms tunneled dispatch+sync RTT of this dev
-    # setup dwarfs the kernels; production hosts don't pay it): chain N
-    # dispatches behind one sync and difference out the single-call RTT
-    from ia_spgemm_tpu.bench import profiling
-    device_ms = profiling.device_time_ms(run, chain=8)["device_ms"]
+    algorithm = min(routes, key=lambda k: routes[k]["wall_ms"])
+    best = routes[algorithm]
+    ours_ms, device_ms, C = best["wall_ms"], best["device_ms"], best["C"]
 
     # sparse-output mode (holes allowed; checksum/SpMV-class consumers):
-    # skips the compaction route — reported as a secondary metric, the
-    # headline stays the canonical compacted result
+    # skips the compaction route — a secondary metric, the headline stays
+    # the canonical compacted result
     sparse_device_ms = None
-    if algorithm == "bitonic":
+    if "bitonic" in routes:
         def run_sparse():
             return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
                                           compact=False)
         Cs = jax.block_until_ready(run_sparse())
-        assert int(Cs.nnz) == int(C.nnz)
+        assert int(Cs.nnz) == int(routes["bitonic"]["C"].nnz)
         sparse_device_ms = profiling.device_time_ms(
             run_sparse, chain=8)["device_ms"]
 
-    # checksum sanity (fp32 vs fp64 oracle)
-    ref_sum = float(c_ref.sum())
-    got_sum = float(C.checksum())
-    rel = abs(got_sum - ref_sum) / max(1.0, abs(ref_sum))
-
-    from ia_spgemm_tpu.bench import roofline
-    if algorithm == "bitonic":
-        cost = roofline.cost_bitonic(A.nrows, bt_plan.width, int(A.nnz))
-    else:
-        cost = roofline.cost_esc(esc_plan.expansion_capacity, int(A.nnz),
-                                 int(A.nnz), int(C.nnz))
-    roof = roofline.analyze(ours_ms, cost)
-    roof_dev = roofline.analyze(device_ms, cost) if device_ms > 0 else None
+    roof = roofline.analyze(ours_ms, best["cost"])
+    roof_dev = roofline.analyze(device_ms, best["cost"]) \
+        if device_ms > 0 else None
 
     gflops = 2.0 * esc_plan.flops / (ours_ms * 1e6)
     result = {
@@ -145,7 +170,10 @@ def main():
                                    / (device_ms * 1e6), 4)
             if device_ms > 0 else None,
             "scipy_ms": round(scipy_ms, 3),
-            "checksum_rel_err": rel,
+            "checksum_rel_err": best["checksum_rel_err"],
+            "routes": {k: {"wall_ms": round(v["wall_ms"], 3),
+                           "device_ms": round(v["device_ms"], 3)}
+                       for k, v in routes.items()},
             "device": str(jax.devices()[0]),
             "roofline": roof,
             "roofline_device": roof_dev,

@@ -94,6 +94,22 @@ def cost_bitonic(m: int, width: int, nnz_a: int,
                       bytes=nnz_a * entry + buf * 3)
 
 
+def cost_multiclass(class_rows, nnz_a: int, nnz_c: int,
+                    value_bytes: int = 4,
+                    index_bytes: int = 4) -> KernelCost:
+    """Width-class bitonic SpGEMM (ops/bitonic.py multiclass): same 3-pass
+    product-buffer structure as cost_bitonic but each class row pays its
+    OWN pow2 width, plus the nnz-scaled BlockCSR output gather.
+
+    class_rows: iterable of (row_count, width) pairs from the plan."""
+    entry = value_bytes + index_bytes
+    buf = sum(c * w for c, w in class_rows) * entry
+    flops = 2.0 * sum(c * w for c, w in class_rows)
+    out = nnz_c * entry * 2            # class blocks written + gathered out
+    return KernelCost(flops=flops,
+                      bytes=nnz_a * entry + buf * 3 + out)
+
+
 def cost_ell(m: int, ka: int, kb: int, kc: int,
              value_bytes: int = 4, index_bytes: int = 4) -> KernelCost:
     entry = value_bytes + index_bytes

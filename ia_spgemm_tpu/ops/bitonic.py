@@ -62,6 +62,43 @@ STATIC_STRIDE_MAX_WIDTH = 4096
 # product-buffer budget: m * Wp * 8 bytes (key + value)
 PRODUCT_BUDGET_BYTES = 4 << 30
 
+# Calibrated steady-state cost model for the multiclass planner
+# (measured on the r2 headline, v5e: expand gather+write achieved
+# ~500 GB/s; sort 5.1 ms / 1342M stage-slots = 3.8 ps each; compress
+# 2.3 ms / 33.5M slots = 68 ps each — see NOTES.md). The model replaces
+# the slot-sum proxy: slot count alone cannot see that a narrower class
+# saves sort STAGES (w log w vs w) or that a short-run table row pads
+# its gather to 128 lanes (4x read waste at run=8).
+_EXPAND_GBS = 500.0
+_SORT_PS_PER_STAGE_SLOT = 3.8
+_COMPRESS_PS_PER_SLOT = 68.0
+
+
+def _sort_stages(width: int, run: int) -> int:
+    """Bitonic stages left when the input is presorted in runs of `run`
+    (the expand emits ascending/descending run pairs, so merging starts
+    at block kk=2*run): sum of j over blocks 2^j in (run, width]."""
+    lw = max(int(width), 1).bit_length() - 1
+    lr = max(int(run), 1).bit_length() - 1
+    return sum(j for j in range(lr + 1, lw + 1))
+
+
+def _candidate_time_ps(W: np.ndarray, run: int) -> float:
+    """Estimated per-call device time (ps) of a width-class candidate:
+    expand (table gather at the padded 128-lane row width + product
+    write) + per-class sort stages + compress. Steady state — plan-time
+    fragment/table builds are amortized by multiclass_planned."""
+    slots = float(W.sum())
+    lanes = max(128, 4 * run)          # packed [col|val|rev] table row
+    expand_bytes = slots / max(run, 1) * lanes * 4.0 + slots * 8.0
+    t = expand_bytes * (1000.0 / _EXPAND_GBS)
+    for w in np.unique(W):
+        rows = float((W == w).sum())
+        t += rows * _sort_stages(int(w), run) * float(w) \
+            * _SORT_PS_PER_STAGE_SLOT
+    t += slots * _COMPRESS_PS_PER_SLOT
+    return t
+
 
 @dataclasses.dataclass(frozen=True)
 class BitonicPlan:
@@ -1102,7 +1139,8 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
         chunks = -(-max(kb, 1) // run0) if kb else 1
         W = np.maximum(128, _next_pow2_arr(
             np.maximum(lens, 1) * chunks * run0))
-        cand = ((int(W.sum()), -run0), run0, chunks, W, False)
+        cand = ((_candidate_time_ps(W, run0), -run0), run0, chunks, W,
+                False)
         if fallback is None or cand[0] < fallback[0]:
             fallback = cand
         if feasible(W) and (best is None or cand[0] < best[0]):
@@ -1115,9 +1153,11 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
             else:
                 _, F = _frag_totals(ce[2], ce[4], run0)
             Wr = np.maximum(128, _next_pow2_arr(np.maximum(F, 1) * run0))
-            # ragged pays a per-call fragment-table gather; prefer it only
-            # on a clear (2x) slot win
-            cand_r = ((int(Wr.sum()) * 2, -run0), run0, 0, Wr, True)
+            # same time model: the ragged layout's extra cost (table rows
+            # padded to 128 gather lanes at small run) is priced by
+            # _candidate_time_ps rather than a flat slot penalty
+            cand_r = ((_candidate_time_ps(Wr, run0), -run0), run0, 0, Wr,
+                      True)
             if feasible(Wr) and (best is None or cand_r[0] < best[0]):
                 best = cand_r
         if run0 <= 4:
