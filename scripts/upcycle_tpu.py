@@ -259,12 +259,12 @@ def main():
     done = set()
     ckpt = "weights/tpu_samples.npz"
     if os.path.exists(ckpt):
-        try:
-            samples = upcycle.load_samples(ckpt)
-            done = {s.matrix_name for s in samples}
-            print(f"resuming with {len(samples)} saved samples", flush=True)
-        except Exception:
-            samples, done = [], set()
+        # do NOT silently restart on a bad checkpoint — that throws away
+        # hours of chip time. A non-finite-features ValueError names the
+        # poisoned samples; repair or delete the checkpoint explicitly.
+        samples = upcycle.load_samples(ckpt)
+        done = {s.matrix_name for s in samples}
+        print(f"resuming with {len(samples)} saved samples", flush=True)
     t_start = time.time()
     child_env = {k: v for k, v in os.environ.items()
                  if k != "JAX_PLATFORMS"}
