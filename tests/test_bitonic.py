@@ -404,3 +404,33 @@ def test_multiclass_plan_device_matches_host():
         d = abs(C_dev.to_scipy() - C_host.to_scipy())
         assert (d.max() if d.nnz else 0.0) == 0.0
         _check(a, a, C_dev)
+
+
+def test_multiclass_time_model_prefers_ragged_on_uniform_midsize_rows():
+    """Planner regression: candidates are scored by the calibrated device-
+    time model (_candidate_time_ps), not slot count. On rows of ~17
+    entries whose B rows are also ~17 long (the headline shape), the
+    chunked layout pads every entry to pow2(kb)=32 slots while the ragged
+    layout at run=16 fits most entries in one 16-slot fragment — fewer
+    sort stages per row. The old slot-sum x2-ragged-penalty proxy picked
+    chunked here; the time model must pick ragged with run < pow2(kb)."""
+    rng = np.random.default_rng(21)
+    m = 2048
+    lens = rng.integers(12, 23, m)
+    rows = np.repeat(np.arange(m), lens)
+    cols = rng.integers(0, m, rows.shape[0])
+    a = sp.coo_matrix((np.ones(rows.shape[0], np.float32),
+                       (rows, cols)), shape=(m, m)).tocsr()
+    a.sum_duplicates()
+    A = _ell(a)
+    plan, W = bitonic.plan_multiclass(
+        np.asarray(A.nnz_row), A.max_nnz_per_row,
+        a_col_h=np.asarray(A.col_ind),
+        b_len_h=np.asarray(A.nnz_row).astype(np.int64))
+    assert plan.viable
+    assert plan.ragged
+    assert plan.run < bitonic._next_pow2(A.max_nnz_per_row)
+    # and the pipeline built from that plan stays correct
+    C = bitonic.spgemm_bitonic_multiclass(A, A)
+    assert C is not None
+    _check(a, a, C)
