@@ -155,6 +155,13 @@ def headline_rooflines():
     # bcsr is the production assembly for skewed outputs (the harness's
     # choice): per-class compact blocks gathered into 128-aligned
     # BlockCSR, nnz-scaled, vs the ELL mode's (m, out_w) scatter.
+    mc_plan, W_skew = bitonic.plan_multiclass(
+        np.asarray(A_skew_ell.nnz_row), A_skew_ell.max_nnz_per_row,
+        a_col_dev=A_skew_ell.col_ind, b_len_dev=A_skew_ell.nnz_row)
+    class_rows = [(int((W_skew == w).sum()), int(w))
+                  for w in np.unique(W_skew)]
+    cost_mc = roofline.cost_multiclass(class_rows, int(A_skew.nnz),
+                                       int(c_ref.nnz))
     for mode in ("ell", "bcsr"):
         call = bitonic.multiclass_planned(A_skew_ell, A_skew_ell,
                                           out_width=ow, assemble=mode)
@@ -172,6 +179,8 @@ def headline_rooflines():
             "nnz": int(A_skew.nnz),
             "flat_plan_viable": False,
             "assembly": mode,
+            "roofline_device": roofline.analyze(dev["device_ms"], cost_mc)
+            if dev["device_ms"] > 0 else None,
         }
 
     jax.block_until_ready(C.values)
