@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1717,8 +1718,11 @@ def spgemm_bitonic_bucketed(A: ELL, B: ELL, *, max_buckets: int = 4,
 TRANSPOSED_MAX_WIDTH = 1024
 # sort+compress in one kernel (saves the intermediate HBM round trip and
 # a launch); the larger live set fits the 16MB scoped VMEM only up to this
-# width (width 1024 measured needing 35MB at 128-lane tiles)
-FUSED_MAX_WIDTH = 256
+# width (width 1024 measured needing 35MB at 128-lane tiles; at 1024 with
+# a raised cap the fused form ran 0.3 ms SLOWER than split — bigger live
+# sets hurt Mosaic pipelining). Env-overridable for on-chip A/B sweeps:
+# IA_SPGEMM_FUSED_MAX_WIDTH=512 flips the dominant headline class.
+FUSED_MAX_WIDTH = int(os.environ.get("IA_SPGEMM_FUSED_MAX_WIDTH", 256))
 
 
 def spgemm_bitonic(A: ELL, B: ELL, plan: BitonicPlan | None = None,
