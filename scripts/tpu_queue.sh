@@ -30,6 +30,10 @@ print(float((x @ x).sum()), jax.devices())" \
 # 1. headline route comparison (decides/validates the bench winner)
 TMO=1800 run headline_routes python scripts/x_headline_routes.py
 
+# 1b. A/B: fused sort+compress extended to the 512 class
+TMO=1800 IA_SPGEMM_FUSED_MAX_WIDTH=512 run headline_routes_fused512 \
+  python scripts/x_headline_routes.py
+
 # 2. acceptance: refreshes reports/fixture_sweeps.json + headline_rooflines.json
 TMO=3600 run acceptance python scripts/acceptance.py
 
