@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("matrix_a", help=".mtx file for A")
     p.add_argument("matrix_b", nargs="?", default=None,
                    help=".mtx file for B (default: B = A)")
+    p.add_argument("testing_mode", nargs="?", default=None,
+                   help="reference-CLI compat: nonzero third positional "
+                        "arg == --testing (./spgemm-cpu A.mtx B.mtx "
+                        "testing_mode, main.cpp:97-140)")
     p.add_argument("--mode", default="all",
                    help="autotune | all | baseline|csr|coo|ell|dia|"
                         "dense|bitonic|dense_row|compensated")
@@ -76,6 +80,8 @@ def enable_compilation_cache():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.testing_mode is not None and args.testing_mode not in ("0", ""):
+        args.testing = True
     enable_compilation_cache()
 
     from ia_spgemm_tpu import autotune

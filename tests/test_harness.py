@@ -82,6 +82,23 @@ def test_cli_autotune_mode(tmp_path, capsys):
     assert "ran algorithm" in out
 
 
+def test_cli_positional_testing_mode(tmp_path, capsys):
+    """Reference CLI compat: ./spgemm-cpu A.mtx B.mtx 1 prints the input
+    matrices (main.cpp:97-140,489-497) — the third positional arg must
+    behave like --testing."""
+    from ia_spgemm_tpu.cli.main import main
+    path = fixtures.mtx_file(tmp_path, "general_real")
+    rc = main([path, path, "1", "--mode", "ell", "--no-matnet",
+               "--iters", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "A_csr" in out and "B_csr" in out
+    rc = main([path, path, "0", "--mode", "ell", "--no-matnet",
+               "--iters", "1"])
+    assert rc == 0
+    assert "A_csr" not in capsys.readouterr().out
+
+
 def test_cli_shape_mismatch(tmp_path):
     from ia_spgemm_tpu.cli.main import main
     pa = fixtures.mtx_file(tmp_path, "rect_real")        # 6x4
