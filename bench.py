@@ -62,7 +62,7 @@ def main():
     enable_compilation_cache()
 
     smoke = os.environ.get("IA_SPGEMM_BENCH_SMOKE") == "1"
-    a = build_matrix(m=512) if smoke else build_matrix()
+    a = build_matrix(m=256) if smoke else build_matrix()
     A = CSR.from_scipy(a.astype(np.float32))
     esc_plan = esc.plan_spgemm(A, A)
 
