@@ -22,12 +22,18 @@ hipdac-lab/IA-SpGEMM (reference mounted at /root/reference):
 
 __version__ = "0.1.0"
 
-from ia_spgemm_tpu.formats.types import CSR, COO, ELL, DIA, Dense  # noqa: F401
+from ia_spgemm_tpu.formats.types import (  # noqa: F401
+    CSR, COO, ELL, DIA, BlockCSR, Dense)
 
 
 def __getattr__(name):
     """Lazy top-level API (keeps `import ia_spgemm_tpu` light)."""
     if name == "spgemm":
+        # the production CSR @ CSR entry: width-class tile sorters when
+        # viable (BlockCSR out), global-sort / sliced ESC otherwise
+        from ia_spgemm_tpu.ops.esc import spgemm_csr_auto
+        return spgemm_csr_auto
+    if name == "spgemm_global_sort":
         from ia_spgemm_tpu.ops.esc import spgemm_csr
         return spgemm_csr
     if name == "spgemm_auto":
