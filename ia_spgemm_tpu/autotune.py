@@ -14,6 +14,7 @@ classes directly with our algorithm names.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -47,9 +48,14 @@ def select_algorithm(A: CSR, B: CSR,
                      weight_name: str = "Intel") -> AutotuneResult:
     """Pick the predicted-fastest algorithm for C = A @ B.
 
-    weight_name may be a shipped set (Intel/Amd/P100) or a path to an
-    upcycled .npz; upcycled files carry their own class menu."""
+    weight_name may be a shipped set (Intel/Amd/P100, reference parity),
+    "TPU" (the selector retrained on measured TPU winners,
+    weights/TPU_upcycled.npz), or a path to an upcycled .npz; upcycled
+    files carry their own class menu."""
     if params is None:
+        if weight_name == "TPU":
+            weight_name = os.path.join(weights.LOCAL_WEIGHTS_DIR,
+                                       "TPU_upcycled.npz")
         if weight_name.endswith(".npz"):
             params, menu = weights.load_params_npz(weight_name,
                                                    with_menu=True)

@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="autotune | all | baseline|csr|coo|ell|dia|"
                         "dense|bitonic|dense_row|compensated")
     p.add_argument("--weights", default="Intel",
-                   help="MatNet weight set (Intel|Amd|P100|path.npz)")
+                   help="MatNet weight set (Intel|Amd|P100 reference sets, "
+                        "TPU = the selector retrained on measured TPU "
+                        "winners, or a path.npz)")
     p.add_argument("--testing", action="store_true",
                    help="print input matrices (reference testing_mode)")
     p.add_argument("--json", default=None, help="write JSON report here")

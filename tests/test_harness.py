@@ -99,6 +99,16 @@ def test_cli_positional_testing_mode(tmp_path, capsys):
     assert "A_csr" not in capsys.readouterr().out
 
 
+def test_cli_tpu_weight_set(tmp_path, capsys):
+    """--weights TPU resolves to the upcycled selector (5-class TPU menu
+    carried inside the npz)."""
+    from ia_spgemm_tpu.cli.main import main
+    path = fixtures.mtx_file(tmp_path, "general_real")
+    rc = main([path, "--mode", "autotune", "--weights", "TPU"])
+    assert rc == 0
+    assert "ran algorithm" in capsys.readouterr().out
+
+
 def test_cli_shape_mismatch(tmp_path):
     from ia_spgemm_tpu.cli.main import main
     pa = fixtures.mtx_file(tmp_path, "rect_real")        # 6x4
