@@ -19,6 +19,8 @@ vs_baseline: speedup over scipy.sparse CSR@CSR on the host — the same
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -182,5 +184,73 @@ def main():
     print(json.dumps(result))
 
 
+def _probe_tpu(timeout_s):
+    """Try to claim the backend in a THROWAWAY subprocess.
+
+    Returns (ok, detail). The axon tunnel serves one process at a time and a
+    stale claim self-expires after ~10-20 min, so a hang here means "wait and
+    retry", not "dead". A fast RuntimeError means the relay itself is down.
+    """
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((256, 256));"
+            "print('PROBE_OK', float((x @ x)[0, 0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, "probe timed out (claim wedged or relay stalled)"
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return True, "ok"
+    tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+    return False, (tail[0] if tail else f"probe rc={r.returncode}")
+
+
+def supervise():
+    """Run the bench with retry/backoff against an unavailable TPU tunnel.
+
+    The round-2 driver capture failed with a raw backend-init traceback
+    (BENCH_r02.json rc=1, parsed=null). This wrapper (a) waits out a wedged
+    claim, which recovers by itself, and (b) on final failure emits ONE
+    structured JSON line instead of a traceback so the capture stays
+    machine-readable either way.
+    """
+    budget_s = float(os.environ.get("IA_SPGEMM_BENCH_WAIT_S", "1500"))
+    t0 = time.time()
+    attempts = 0
+    last_err = ""
+    while True:
+        attempts += 1
+        ok, last_err = _probe_tpu(timeout_s=240)
+        if ok:
+            try:
+                worker = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker"],
+                    capture_output=True, text=True, timeout=2400)
+            except subprocess.TimeoutExpired:
+                last_err = "bench worker timed out (2400s)"
+            else:
+                out_lines = worker.stdout.strip().splitlines()
+                if worker.returncode == 0 and out_lines:
+                    print(out_lines[-1])
+                    return 0
+                tail = (worker.stderr or worker.stdout).strip().splitlines()
+                last_err = tail[-1] if tail \
+                    else f"worker rc={worker.returncode}"
+        waited = time.time() - t0
+        if waited + 120 > budget_s:
+            print(json.dumps({
+                "metric": "spgemm_gflops", "value": 0.0, "unit": "GFLOPS",
+                "vs_baseline": 0.0,
+                "error": f"TPU unavailable after {attempts} attempts "
+                         f"({waited:.0f}s): {last_err}",
+            }))
+            return 1
+        time.sleep(120)
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv or \
+            os.environ.get("IA_SPGEMM_BENCH_NO_SUPERVISE") == "1":
+        main()
+    else:
+        sys.exit(supervise())

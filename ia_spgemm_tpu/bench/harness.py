@@ -186,8 +186,13 @@ def run_benchmark(A: CSR, B: CSR,
                 from ia_spgemm_tpu.bench.isolated import (
                     bench_algorithm_isolated,
                 )
+                # custom menus without a leading 'baseline' have no
+                # 20x-baseline budget — fall back to a fixed wall-clock
+                # cap so the watchdog never silently disarms
+                iso_timeout = timeout_s if timeout_s is not None \
+                    else config.isolate_default_timeout_s
                 iso = bench_algorithm_isolated(
-                    A, B, name, timeout_s=timeout_s, iters=iters,
+                    A, B, name, timeout_s=iso_timeout, iters=iters,
                     backend=isolate_backend)
                 report.results[-1] = iso
                 continue

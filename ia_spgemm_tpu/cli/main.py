@@ -118,6 +118,12 @@ def main(argv=None) -> int:
     if args.testing:
         _print_csr("A_csr", A)
         _print_csr("B_csr", B)
+        # the reference's testing_mode also dumps the vendor-baseline
+        # result C (print_csr(&C_mkl), main.cpp:760) for eyeballing
+        from ia_spgemm_tpu.formats.types import CSR as _CSR
+        c_sp = (A.to_scipy() @ B.to_scipy()).tocsr()
+        c_sp.sum_duplicates()
+        _print_csr("C_csr", _CSR.from_scipy(c_sp))
 
     if args.imgs_dir:
         os.makedirs(args.imgs_dir, exist_ok=True)

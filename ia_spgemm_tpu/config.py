@@ -45,6 +45,9 @@ class SpGEMMConfig:
     density_image_size: int = DENSITY_IMAGE_SIZE
     # Benchmark timeout scale.
     timeout_scale: float = TIMEOUT_SCALE
+    # Watchdog budget for --isolate runs when the menu carries no
+    # baseline to scale from (20x-baseline is the normal rule).
+    isolate_default_timeout_s: float = 300.0
 
 
 DEFAULT_CONFIG = SpGEMMConfig()

@@ -89,17 +89,29 @@ def read_mtx(path_or_file) -> Tuple[MatrixMarketHeader, np.ndarray, np.ndarray, 
         if field == "complex":
             # Reference: "data type 'COMPLEX' is not supported" (main.cpp:166).
             raise MatrixMarketError("data type 'COMPLEX' is not supported")
-        if fmt != "coordinate":
-            raise MatrixMarketError("only coordinate format is supported")
+        if fmt not in ("coordinate", "array"):
+            raise MatrixMarketError(f"unknown MatrixMarket format {fmt!r}")
+        if fmt == "array" and field == "pattern":
+            # the MM spec forbids pattern+array (mmio.h:137 valid-typecode
+            # table); the reference's mm_read_banner rejects it too
+            raise MatrixMarketError("array format cannot be 'pattern'")
         line = f.readline()
         while line.startswith("%") or not line.strip():
             line = f.readline()
         dims = line.split()
-        nrows, ncols, nnz = int(dims[0]), int(dims[1]), int(dims[2])
+        if fmt == "coordinate":
+            nrows, ncols, nnz = int(dims[0]), int(dims[1]), int(dims[2])
+        else:
+            # mm_read_mtx_array_size (mmio.h:27): dims line is "M N"
+            nrows, ncols = int(dims[0]), int(dims[1])
+            nnz = nrows * ncols
         body = f.read()
     finally:
         if close:
             f.close()
+
+    if fmt == "array":
+        return _read_array_body(obj, field, sym, nrows, ncols, body)
 
     header = MatrixMarketHeader(obj, fmt, field, sym, nrows, ncols, nnz)
     if nnz == 0:
@@ -125,6 +137,42 @@ def read_mtx(path_or_file) -> Tuple[MatrixMarketHeader, np.ndarray, np.ndarray, 
         if field == "integer":
             vals = np.trunc(vals)
     return header, rows.astype(np.int32), cols.astype(np.int32), vals
+
+
+def _read_array_body(obj, field, sym, nrows, ncols, body):
+    """MatrixMarket `array` (dense) body → COO triplets, 0-based.
+
+    Values are listed COLUMN-major (the MM spec / mm_read_mtx_array_size,
+    reference mmio.h:27,110). Symmetric/hermitian files store the lower
+    triangle including the diagonal; skew-symmetric the strictly-lower
+    triangle. Explicit zeros are kept (the file says dense, we report what
+    it stores — callers assembling CSR get exactly the stored entries)."""
+    if sym in ("symmetric", "hermitian"):
+        # column j stores rows j..nrows-1
+        reps = np.maximum(nrows - np.arange(ncols, dtype=np.int64), 0)
+    elif sym == "skew-symmetric":
+        # column j stores rows j+1..nrows-1
+        reps = np.maximum(nrows - np.arange(ncols, dtype=np.int64) - 1, 0)
+    else:
+        reps = np.full(ncols, nrows, dtype=np.int64)
+    n_expect = int(reps.sum())
+    vals = np.fromstring(body, sep=" ")
+    if vals.size != n_expect:
+        vals = np.loadtxt(_io.StringIO(body), ndmin=1).reshape(-1)
+    if field == "integer":
+        vals = np.trunc(vals)
+    cols = np.repeat(np.arange(ncols, dtype=np.int64), reps)
+    offs = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    first_row = (nrows - reps)  # 0 general, j symmetric, j+1 skew
+    rows = np.arange(len(cols), dtype=np.int64) - offs[cols] \
+        + first_row[cols] if len(cols) else np.zeros(0, np.int64)
+    if vals.size != n_expect:
+        raise MatrixMarketError(
+            f"array body has {vals.size} values, expected {n_expect}")
+    header = MatrixMarketHeader(obj, "array", field, sym,
+                                nrows, ncols, n_expect)
+    return (header, rows.astype(np.int32), cols.astype(np.int32),
+            vals.astype(np.float64))
 
 
 def expand_symmetric(header: MatrixMarketHeader,
@@ -204,20 +252,35 @@ def read_mtx_to_csr(path, dtype=np.float64, capacity: int | None = None,
                            (header.nrows, header.ncols), nnz=nnz)
 
 
-def write_mtx(path, csr, field: str = "real", comment: str | None = None):
-    """Write a CSR pytree to a MatrixMarket coordinate file (general
-    symmetry). Counterpart of mm_write_* (reference: mmio.h:48-59)."""
+def write_mtx(path, csr, field: str = "real", comment: str | None = None,
+              symmetry: str = "general"):
+    """Write a CSR pytree to a MatrixMarket coordinate file.
+
+    Counterpart of mm_write_* (reference: mmio.h:48-59), which can emit any
+    typecode: `field` in {real, integer, pattern}, `symmetry` in {general,
+    symmetric, skew-symmetric}. For the symmetric typecodes only the lower
+    triangle is stored (incl. the diagonal for symmetric, excl. for skew),
+    matching what read_mtx + expand_symmetric reconstructs."""
     import numpy as np
+    if symmetry not in ("general", "symmetric", "skew-symmetric"):
+        raise MatrixMarketError(f"unknown write symmetry {symmetry!r}")
     sp = csr.to_scipy().tocoo()
+    rows, cols, data = sp.row, sp.col, sp.data
+    if symmetry == "symmetric":
+        keep = rows >= cols
+        rows, cols, data = rows[keep], cols[keep], data[keep]
+    elif symmetry == "skew-symmetric":
+        keep = rows > cols
+        rows, cols, data = rows[keep], cols[keep], data[keep]
     with open(path, "w") as f:
-        f.write(f"%%MatrixMarket matrix coordinate {field} general\n")
+        f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n")
         if comment:
             for line in comment.splitlines():
                 f.write(f"%{line}\n")
-        f.write(f"{sp.shape[0]} {sp.shape[1]} {sp.nnz}\n")
+        f.write(f"{sp.shape[0]} {sp.shape[1]} {len(rows)}\n")
         if field == "pattern":
-            for i, j in zip(sp.row + 1, sp.col + 1):
+            for i, j in zip(rows + 1, cols + 1):
                 f.write(f"{i} {j}\n")
         else:
-            for i, j, v in zip(sp.row + 1, sp.col + 1, sp.data):
+            for i, j, v in zip(rows + 1, cols + 1, data):
                 f.write(f"{i} {j} {v:.17g}\n")

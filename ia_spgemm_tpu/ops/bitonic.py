@@ -953,6 +953,11 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
     while ka_blk * lanes > _EXPAND_TILE_ELEMS and ka_blk % 2 == 0:
         ka_blk //= 2
         ka_blocks *= 2
+    # block-local entry parity must equal the global parity: the presorted
+    # merge (start_kk=2*run) alternates fwd/rev runs by entry index, so an
+    # odd per-block ka would flip the alternation in every other block
+    assert ka_blocks == 1 or ka_blk % 2 == 0, \
+        f"ka={ka} split to odd block {ka_blk}; pad ka to a pow2 multiple"
     grid = (pl.cdiv(m, L),) if ka_blocks == 1 else \
         (pl.cdiv(m, L), ka_blocks)
     if ka_blocks == 1:
@@ -1333,7 +1338,12 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
             oc = cols_p[c].shape[1]
             col = col.at[idxs[c], :oc].set(cols_p[c], mode="drop")
             val = val.at[idxs[c], :oc].set(vals_p[c], mode="drop")
-            nnz = nnz.at[idxs[c]].set(nnz_p[c][:, 0], mode="drop")
+            # clamp to the stored width: with a caller out_width cap a
+            # row's survivor count can exceed its slots, and an unclamped
+            # nnz_row would make ell_to_csr read pad slots (the bcsr
+            # assembly already clamps via oc_row)
+            nnz = nnz.at[idxs[c]].set(
+                jnp.minimum(nnz_p[c][:, 0], oc), mode="drop")
         return col, val, nnz
 
     return jax.jit(f)

@@ -93,6 +93,11 @@ def plan_spgemm(A: CSR, B: CSR, *, bucket: bool = True,
     from ia_spgemm_tpu.ops import symbolic
     ws = workspace_elems or DEFAULT_WORKSPACE_ELEMS
     ws = min(ws, np.iinfo(np.int32).max - 1)
+    # bucket_capacity rounds UP (<=25%): cap ws so even the bucketed
+    # capacity stays below int32 positions (a ws near 2^31 would
+    # otherwise let bucket_capacity(E) overflow the position arithmetic)
+    while cfg.bucket_capacity(ws) > np.iinfo(np.int32).max - 1:
+        ws -= max(ws // 16, 1)
     E, out_bound, max_rf, rf = symbolic.plan_symbolic(A, B,
                                                       return_rows=True)
     b_maxlen = int(jnp.max(B.row_ptr[1:] - B.row_ptr[:-1])) \

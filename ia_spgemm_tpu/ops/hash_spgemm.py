@@ -171,6 +171,12 @@ def spgemm_hash(A: ELL, B: ELL, *, table_size: int | None = None,
     in int32 lanes)."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    for v in (A.values, B.values):
+        if jnp.dtype(v.dtype).itemsize > 4:
+            raise ValueError(
+                f"spgemm_hash computes in f32 (packed int32 value bits); "
+                f"got {v.dtype}. Cast explicitly or use the ESC/bitonic "
+                "paths, which keep f64/compensated accumulation.")
     Ka, Kb = A.max_nnz_per_row, B.max_nnz_per_row
     # upper bound on a row's nnz, padded for load factor
     H = table_size or min(_next_pow2(2 * Ka * Kb), _next_pow2(2 * B.ncols))

@@ -92,7 +92,7 @@ def test_cli_positional_testing_mode(tmp_path, capsys):
                "--iters", "1"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "A_csr" in out and "B_csr" in out
+    assert "A_csr" in out and "B_csr" in out and "C_csr" in out
     rc = main([path, path, "0", "--mode", "ell", "--no-matnet",
                "--iters", "1"])
     assert rc == 0

@@ -4,6 +4,7 @@ reference's Inputs/ suite (when mounted)."""
 import numpy as np
 import pytest
 import scipy.io
+import scipy.sparse
 
 from ia_spgemm_tpu.io import mmio
 from tests import fixtures
@@ -85,3 +86,57 @@ def test_pattern_values_are_one(tmp_path):
     csr = mmio.read_mtx_to_csr(path)
     nnz = int(csr.nnz)
     np.testing.assert_array_equal(np.asarray(csr.values)[:nnz], 1.0)
+
+
+def test_array_format_matches_scipy(tmp_path):
+    """MM `array` (dense) read — mm_read_mtx_array_size support
+    (reference mmio.h:27,110): column-major body, all entries stored."""
+    rng = np.random.default_rng(3)
+    dense = rng.standard_normal((5, 4))
+    path = tmp_path / "dense.mtx"
+    scipy.io.mmwrite(str(path), dense)
+    ours = mmio.read_mtx_to_csr(path).to_scipy().toarray()
+    np.testing.assert_allclose(ours, dense, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("sym", ["symmetric", "skew-symmetric"])
+def test_array_format_symmetric(tmp_path, sym):
+    """Symmetric/skew array files store the (strictly-)lower triangle
+    column-major; expansion must reconstruct the full matrix."""
+    rng = np.random.default_rng(4)
+    low = np.tril(rng.standard_normal((6, 6)), -1)
+    dense = low - low.T if sym == "skew-symmetric" else \
+        low + low.T + np.diag(rng.standard_normal(6))
+    path = tmp_path / "symdense.mtx"
+    scipy.io.mmwrite(str(path), dense, symmetry=sym)
+    ours = mmio.read_mtx_to_csr(path).to_scipy().toarray()
+    np.testing.assert_allclose(ours, dense, rtol=0, atol=0)
+
+
+def test_array_pattern_rejected(tmp_path):
+    path = tmp_path / "bad.mtx"
+    path.write_text("%%MatrixMarket matrix array pattern general\n2 2\n")
+    with pytest.raises(mmio.MatrixMarketError):
+        mmio.read_mtx(str(path))
+
+
+@pytest.mark.parametrize("sym", ["symmetric", "skew-symmetric"])
+def test_write_symmetric_typecode_roundtrip(tmp_path, sym):
+    """write_mtx can emit the symmetric typecodes (mm_write_*, reference
+    mmio.h:48-59): lower triangle stored, scipy and our reader both
+    reconstruct the full matrix."""
+    from ia_spgemm_tpu.formats.types import CSR
+    rng = np.random.default_rng(5)
+    low = np.tril(rng.standard_normal((7, 7)), -1)
+    low[np.abs(low) < 0.6] = 0.0
+    dense = low - low.T if sym == "skew-symmetric" else \
+        low + low.T + np.diag(np.arange(1.0, 8.0))
+    a = scipy.sparse.csr_matrix(dense)
+    path = tmp_path / "out.mtx"
+    mmio.write_mtx(str(path), CSR.from_scipy(a), symmetry=sym)
+    banner = path.read_text().splitlines()[0]
+    assert banner == f"%%MatrixMarket matrix coordinate real {sym}"
+    back_scipy = scipy.io.mmread(str(path)).toarray()
+    np.testing.assert_allclose(back_scipy, dense, rtol=0, atol=0)
+    back_ours = mmio.read_mtx_to_csr(str(path)).to_scipy().toarray()
+    np.testing.assert_allclose(back_ours, dense, rtol=0, atol=0)
