@@ -140,6 +140,16 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
         if C is not None:
             return _as_csr(C), sel
         algo = "csr"
+    if algo == "hash":
+        # NSPARSE-class slot: SMEM hash accumulation (f32-only; the
+        # ValueError guards fall back like any rejected format)
+        from ia_spgemm_tpu.ops import hash_spgemm as hash_ops
+        Ae = convert.csr_to_ell(A, check_guard=False)
+        Be = convert.csr_to_ell(B, check_guard=False)
+        try:
+            return _as_csr(hash_ops.spgemm_hash(Ae, Be)), sel
+        except ValueError:
+            algo = "csr"
     if algo == "compensated":
         try:
             return esc.spgemm_csr_compensated(A, B), sel

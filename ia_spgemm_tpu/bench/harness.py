@@ -317,6 +317,28 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
 
         def compute(ab):
             return dr_ops.spgemm_dense_row(ab[0], ab[1])
+    elif name == "hash":
+        # the NSPARSE hash-accumulator slot the reference names but never
+        # ships (main.cu:526,543-544): per-row SMEM hash tables with
+        # DMA-streamed B (ops/hash_spgemm.py)
+        from ia_spgemm_tpu.ops import hash_spgemm as hash_ops
+        lens_a = np.diff(np.asarray(A.row_ptr))
+        lens_b = np.diff(np.asarray(B.row_ptr))
+        if (A.dtype != np.float32  # f32-only kernel (packed value bits)
+                or csr_to_ell_probe(A, ratio) is None
+                or csr_to_ell_probe(B, ratio) is None
+                or not hash_ops.hash_viable(
+                    int(lens_a.max(initial=0)), int(lens_b.max(initial=0)),
+                    B.ncols)):
+            res.skipped = True
+            return None
+
+        def convert_fn():
+            return (convert.csr_to_ell(A, check_guard=False),
+                    convert.csr_to_ell(B, check_guard=False))
+
+        def compute(ab):
+            return hash_ops.spgemm_hash(ab[0], ab[1])
     elif name == "bitonic":
         from ia_spgemm_tpu.formats.convert import plan_ell_width
         from ia_spgemm_tpu.ops import bitonic as bt_ops

@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "testing_mode, main.cpp:97-140)")
     p.add_argument("--mode", default="all",
                    help="autotune | all | baseline|csr|coo|ell|dia|"
-                        "dense|bitonic|dense_row|compensated")
+                        "dense|bitonic|dense_row|compensated|hash")
     p.add_argument("--weights", default="Intel",
                    help="MatNet weight set (Intel|Amd|P100 reference sets, "
                         "TPU = the selector retrained on measured TPU "
@@ -148,7 +148,8 @@ def main(argv=None) -> int:
               f"verified_sum={float(C.checksum()):.10g}")
         return 0
 
-    algorithms = (harness.ALGORITHMS + ("bitonic", "compensated", "dense")
+    algorithms = (harness.ALGORITHMS
+                  + ("bitonic", "compensated", "dense", "hash")
                   if args.mode == "all" else ("baseline", args.mode))
     rep = harness.run_benchmark(
         A, B, algorithms,

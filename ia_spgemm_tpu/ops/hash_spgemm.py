@@ -39,6 +39,16 @@ SMEM_BUDGET_BYTES = 256 * 1024
 _HASH_MULT = 2654435761 - 2**32  # Knuth multiplicative hash, as signed i32
 
 
+def hash_viable(ka: int, kb: int, ncols: int,
+                tile_rows: int = DEFAULT_TILE_ROWS) -> bool:
+    """True when the per-tile hash tables + B stream buffers fit SMEM —
+    the same arithmetic spgemm_hash itself performs before launching."""
+    H = max(min(_next_pow2(2 * max(ka, 1) * max(kb, 1)),
+                _next_pow2(2 * max(ncols, 1))), 8)
+    t_bytes = tile_rows * H * 8 + 2 * 8 * 2 * _next_pow2(max(kb, 1)) * 4
+    return t_bytes <= SMEM_BUDGET_BYTES
+
+
 def _kernel(a_col_ref, a_val_ref, b_hbm_ref,
             out_col_ref, out_val_ref, out_nnz_ref, bbuf, sem,
             *, kb_pad: int):

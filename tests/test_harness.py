@@ -213,3 +213,23 @@ def test_harness_csr_tiled_route():
     from ia_spgemm_tpu.formats import convert
     c_nnz = (a @ a).nnz
     assert res["csr"].memory_bytes >= convert.sizeof_csr(m, c_nnz) - 4 * (m + 1)
+
+
+def test_hash_route_first_class():
+    """--mode hash / the 'hash' algorithm is benchmarkable, not a museum
+    piece: it runs under the harness on f32 inputs, verifies vs the
+    baseline, and skips (not errors) on f64 where the packed-int32 kernel
+    cannot keep precision."""
+    a = fixtures.banded_csr(64, bandwidth=2, seed=41)
+    A32 = CSR.from_scipy(a.astype(np.float32))
+    rep = harness.run_benchmark(A32, A32, ("baseline", "hash"), iters=1)
+    names = {r.name: r for r in rep.results}
+    assert names["hash"].ok, names["hash"].error
+    assert not names["hash"].error
+    np.testing.assert_allclose(names["hash"].verified_sum,
+                               names["baseline"].verified_sum, rtol=1e-5)
+    # f64 input: honest skip, no crash
+    A64 = CSR.from_scipy(a.astype(np.float64))
+    rep64 = harness.run_benchmark(A64, A64, ("baseline", "hash"), iters=1)
+    h64 = {r.name: r for r in rep64.results}["hash"]
+    assert h64.skipped and not h64.error
