@@ -430,7 +430,7 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         res.memory_bytes = (convert.sizeof_coo(C.nrows, int(C.nnz))
                             if name == "coo"
                             else convert.sizeof_csr(C.nrows, int(C.nnz)))
-    elif name in ("ell", "bitonic"):
+    elif name in ("ell", "bitonic", "hash"):
         res.memory_bytes = convert.sizeof_ell(C.nrows, C.max_nnz_per_row)
     elif name == "dia":
         res.memory_bytes = convert.sizeof_dia(C.nrows, C.ncols,

@@ -434,3 +434,40 @@ def test_multiclass_time_model_prefers_ragged_on_uniform_midsize_rows():
     C = bitonic.spgemm_bitonic_multiclass(A, A)
     assert C is not None
     _check(a, a, C)
+
+
+def test_multiclass_plan_cache_hit_and_eviction():
+    """Repeat-call planning must be a cache hit (VERDICT r2 #6): the same
+    ELL operands reuse the built pipeline; dead operands evict their
+    entry so a recycled id() can never alias a stale plan."""
+    import gc
+    import time
+
+    a = _skewed(31, 192)
+    A = _ell(a)
+    bitonic.clear_plan_cache()
+    call1 = bitonic.multiclass_planned(A, A, assemble="bcsr")
+    assert call1 is not None
+    s = bitonic.plan_cache_stats()
+    assert s["misses"] == 1 and s["hits"] == 0
+    t0 = time.perf_counter()
+    call2 = bitonic.multiclass_planned(A, A, assemble="bcsr")
+    replan_ms = (time.perf_counter() - t0) * 1e3
+    assert bitonic.plan_cache_stats()["hits"] == 1
+    assert call2 is call1
+    assert replan_ms < 100.0, f"cached replan took {replan_ms:.1f} ms"
+    # results identical through the cached pipeline
+    C = call2()
+    _check(a, a, C)
+    # a different assemble mode is a different plan, not a stale hit
+    call3 = bitonic.multiclass_planned(A, A, assemble="ell")
+    assert call3 is not call1
+    assert bitonic.plan_cache_stats()["misses"] == 2
+    # the FIFO bound holds: overflowing evicts the oldest entry
+    for i in range(bitonic._BUILD_CACHE_MAX):
+        Ai = _ell(_skewed(40 + i, 64))
+        assert bitonic.multiclass_planned(Ai, Ai) is not None
+    assert len(bitonic._BUILD_CACHE) <= bitonic._BUILD_CACHE_MAX
+    del A, call1, call2, call3
+    gc.collect()
+    bitonic.clear_plan_cache()
