@@ -158,3 +158,32 @@ def test_rdma_ring_kernel_traces(mesh):
 
     from ia_spgemm_tpu.parallel.rdma_ring import rdma_available
     assert rdma_available(mesh) is False  # CPU mesh -> ppermute path
+
+
+def test_scaling_model_shapes_and_limits():
+    """Analytic ICI model (bench/scaling.py): compute-bound problems scale
+    ~linearly, wire-bound ones asymptote at t1/(D*comm); the comm volume
+    per link is sizeof_ell(B)/D per step."""
+    from ia_spgemm_tpu.bench import scaling
+
+    a = fixtures.banded_csr(4096, bandwidth=3, seed=2)
+    A = CSR.from_scipy(a.astype(np.float32))
+    # hugely compute-bound: efficiency ~1 at every D
+    pts = scaling.model_ring_efficiency(A, (1, 2, 4, 8), t1_ms=1e4)
+    assert [p["devices"] for p in pts] == [1, 2, 4, 8]
+    assert pts[0]["efficiency"] == 1.0 and pts[0]["comm_ms"] == 0.0
+    assert all(p["efficiency"] > 0.99 for p in pts)
+    # wire-bound: tiny t1 -> comm dominates, efficiency decays with D
+    ptsw = scaling.model_ring_efficiency(A, (1, 2, 4, 8), t1_ms=1e-3)
+    effs = [p["efficiency"] for p in ptsw[1:]]
+    assert all(e2 < e1 for e1, e2 in zip(effs, effs[1:]))
+    # per-link bytes: one B shard per step
+    kb = int(np.diff(np.asarray(A.row_ptr)).max())
+    from ia_spgemm_tpu.formats import convert as _c
+    assert ptsw[2]["comm_bytes_per_link"] == int(
+        _c.sizeof_ell(A.nrows, kb) / 4)
+    # no-overlap pricing is never faster than overlapped
+    pts_no = scaling.model_ring_efficiency(A, (8,), t1_ms=5.0,
+                                           overlap=False)
+    pts_ov = scaling.model_ring_efficiency(A, (8,), t1_ms=5.0)
+    assert pts_no[0]["time_ms"] >= pts_ov[0]["time_ms"]
