@@ -140,6 +140,17 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
         if C is not None:
             return _as_csr(C), sel
         algo = "csr"
+    if algo == "esc":
+        # forced global-sort ESC (the strategy-distinct class name)
+        from ia_spgemm_tpu.ops import esc as _esc
+        return _esc.spgemm_csr(A, B, _esc.plan_spgemm(A, B)), sel
+    if algo == "dense_row":
+        from ia_spgemm_tpu.ops import dense_row as dr_ops
+        Ae = convert.csr_to_ell(A, check_guard=False)
+        if B.ncols <= dr_ops.MAX_N_F32 and Ae is not None:
+            C = dr_ops.spgemm_dense_row(Ae, convert.csr_to_dense(B))
+            return convert.dense_to_csr(C), sel
+        algo = "csr"
     if algo == "hash":
         # NSPARSE-class slot: SMEM hash accumulation (f32-only; the
         # ValueError guards fall back like any rejected format)
@@ -147,7 +158,9 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
         Ae = convert.csr_to_ell(A, check_guard=False)
         Be = convert.csr_to_ell(B, check_guard=False)
         try:
-            return _as_csr(hash_ops.spgemm_hash(Ae, Be)), sel
+            # hash-ordered slots -> left-justified before the CSR view
+            C = convert.compact_ell(hash_ops.spgemm_hash(Ae, Be))
+            return _as_csr(C), sel
         except ValueError:
             algo = "csr"
     if algo == "compensated":

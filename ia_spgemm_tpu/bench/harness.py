@@ -253,6 +253,15 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
             if kind == "tiled":
                 return x()
             return esc.spgemm_csr(A, B, x)
+    elif name == "esc":
+        # the global-sort ESC engine FORCED (no tiled route): the
+        # strategy-distinct selector class; 'csr' stays the production
+        # auto route (tiled width-class sorters when viable)
+        plan = esc.plan_spgemm(A, B, bucket=config.bucket_capacities)
+        convert_fn = None
+
+        def compute(ab=(A, B)):
+            return esc.spgemm_csr(ab[0], ab[1], plan)
     elif name == "compensated":
         # double-double accumulation: fp64-grade sums from f32 operands
         if A.dtype != np.float32 or \
@@ -426,7 +435,7 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
     from ia_spgemm_tpu.formats.types import BlockCSR
     if isinstance(C, BlockCSR):
         res.memory_bytes = float(C.padded_bytes())
-    elif name in ("csr", "coo", "compensated"):
+    elif name in ("csr", "esc", "coo", "compensated"):
         res.memory_bytes = (convert.sizeof_coo(C.nrows, int(C.nnz))
                             if name == "coo"
                             else convert.sizeof_csr(C.nrows, int(C.nnz)))

@@ -33,8 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "arg == --testing (./spgemm-cpu A.mtx B.mtx "
                         "testing_mode, main.cpp:97-140)")
     p.add_argument("--mode", default="all",
-                   help="autotune | all | baseline|csr|coo|ell|dia|"
-                        "dense|bitonic|dense_row|compensated|hash")
+                   help="autotune | all | baseline|csr|esc|coo|ell|dia|"
+                        "dense|bitonic|dense_row|compensated|hash "
+                        "(csr auto-routes tiled-when-viable; esc forces "
+                        "the global-sort engine)")
     p.add_argument("--weights", default="Intel",
                    help="MatNet weight set (Intel|Amd|P100 reference sets, "
                         "TPU = the selector retrained on measured TPU "

@@ -151,6 +151,27 @@ def csr_to_ell(A: CSR, width: int | None = None,
                shape=A.shape)
 
 
+def compact_ell(A: ELL) -> ELL:
+    """Left-justify an ELL whose rows carry interior holes (col < 0) —
+    the hash kernel emits hash-ordered tables — restoring the
+    left-justification invariant ell_to_csr relies on (types.py:170).
+    One row-wise cumsum + one flat scatter, all on device."""
+    m, K = A.col_ind.shape
+    valid = A.col_ind >= 0
+    slot = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(valid, slot, K)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, K), 0)
+    flat = (rows * (K + 1) + dst).reshape(-1)
+    col = jnp.full(m * (K + 1), -1, jnp.int32
+                   ).at[flat].set(A.col_ind.reshape(-1), mode="drop")
+    val = jnp.zeros(m * (K + 1), A.values.dtype
+                    ).at[flat].set(A.values.reshape(-1), mode="drop")
+    col = col.reshape(m, K + 1)[:, :K]
+    val = val.reshape(m, K + 1)[:, :K]
+    return ELL(col_ind=col, values=val, nnz_row=A.nnz_row, nnz=A.nnz,
+               shape=A.shape)
+
+
 def ell_to_csr(A: ELL) -> CSR:
     m, K = A.col_ind.shape
     nnz_row = A.nnz_row

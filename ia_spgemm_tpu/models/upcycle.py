@@ -115,7 +115,9 @@ def evaluate_pick_accuracy(params, samples: List[Sample],
     return hits / max(len(samples), 1)
 
 
-def save_samples(path: str, samples: List[Sample]) -> None:
+def save_samples(path: str, samples: List[Sample],
+                 menu: Optional[Sequence[str]] = None) -> None:
+    extra = {"menu": json.dumps(list(menu))} if menu else {}
     np.savez_compressed(
         path,
         img1=np.stack([s.img1 for s in samples]),
@@ -123,7 +125,17 @@ def save_samples(path: str, samples: List[Sample]) -> None:
         feats=np.stack([s.feats for s in samples]),
         labels=np.array([s.label for s in samples], np.int32),
         winners=json.dumps([s.winner for s in samples]),
-        names=json.dumps([s.matrix_name for s in samples]))
+        names=json.dumps([s.matrix_name for s in samples]),
+        **extra)
+
+
+def load_samples_menu(path: str) -> Optional[List[str]]:
+    """The class menu a checkpoint's labels index, when it recorded one
+    (round-3 checkpoints do; older ones used the round-2 MENU_V1)."""
+    with np.load(path, allow_pickle=False) as d:
+        if "menu" in d:
+            return list(json.loads(str(d["menu"])))
+    return None
 
 
 def load_samples(path: str) -> List[Sample]:

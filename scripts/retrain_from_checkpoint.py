@@ -18,13 +18,22 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-MENU = ("csr", "dia", "ell", "coo", "bitonic")
+MENU_V1 = ("csr", "dia", "ell", "coo", "bitonic")
 
 
 def main():
     from ia_spgemm_tpu.models import upcycle, weights
 
-    path = sys.argv[1] if len(sys.argv) > 1 else "weights/tpu_samples.npz"
+    if len(sys.argv) > 1:
+        path = sys.argv[1]
+    elif os.path.exists("weights/tpu_samples_v2.npz"):
+        path = "weights/tpu_samples_v2.npz"
+    else:
+        path = "weights/tpu_samples.npz"
+    # round-3 checkpoints record the menu their labels index; the round-2
+    # checkpoint predates that and used MENU_V1
+    MENU = tuple(upcycle.load_samples_menu(path) or MENU_V1)
+    print(f"checkpoint {path} menu={MENU}", flush=True)
     samples = upcycle.load_samples(path)
     counts = {algo: sum(1 for s in samples if s.winner == algo)
               for algo in MENU}

@@ -37,7 +37,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 # a deployable TPU choice, and under the dev tunnel's ~26ms dispatch
 # overhead it degenerately wins every small case. Five classes — the same
 # count as the reference's menu, so its shipped weights can warm-start.
-MENU = ("csr", "dia", "ell", "coo", "bitonic")
+#
+# Round 3 (NOTES 5b): STRATEGY-DISTINCT classes. After the tiled csr
+# route landed, 'csr' and 'bitonic' became near-ties (both run the
+# width-class Pallas sorters when viable), as did 'coo'/'csr' in round 2
+# — label noise, not signal. The relabeled menu names one representative
+# per accumulation strategy: tiled width-class sort (bitonic), global
+# device sort (esc), SMEM hash probing (hash), diagonal algebra (dia),
+# dense-row MXU accumulation (dense_row).
+MENU = ("bitonic", "esc", "hash", "dia", "dense_row")
+# Prior (round-2) menu, kept for loading the old checkpoint/weights.
+MENU_V1 = ("csr", "dia", "ell", "coo", "bitonic")
 
 
 def corpus(quick: bool):
@@ -206,7 +216,7 @@ def worker_main(name: str, out: str, quick: bool) -> None:
             A, B, menu=MENU, name=name, iters=2,
             progress=lambda alg: print(f"  [{name}] {alg}", flush=True))
         if s is not None:
-            upcycle.save_samples(out, [s])
+            upcycle.save_samples(out, [s], menu=MENU)
         return
     print(f"{name}: not in corpus", flush=True)
     sys.exit(3)
@@ -257,7 +267,10 @@ def main():
     # resume: skip matrices already harvested (incremental checkpoint)
     samples = []
     done = set()
-    ckpt = "weights/tpu_samples.npz"
+    # v2: labels index the strategy-distinct MENU — the v1 checkpoint
+    # (weights/tpu_samples.npz, MENU_V1 labels) cannot be reused because
+    # samples store only the winner, not per-algorithm timings
+    ckpt = "weights/tpu_samples_v2.npz"
     if os.path.exists(ckpt):
         # do NOT silently restart on a bad checkpoint — that throws away
         # hours of chip time. A non-finite-features ValueError names the
@@ -306,7 +319,7 @@ def main():
             samples.extend(upcycle.load_samples(tmp_out))
         finally:
             os.remove(tmp_out)
-        upcycle.save_samples(ckpt, samples)   # checkpoint every matrix
+        upcycle.save_samples(ckpt, samples, menu=MENU)  # ckpt every matrix
         print(f"{name}: winner={samples[-1].winner} "
               f"({time.time() - t0:.1f}s)", flush=True)
     counts = {algo: sum(1 for s in samples if s.winner == algo)

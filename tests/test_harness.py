@@ -13,11 +13,11 @@ from tests import fixtures
 def test_run_benchmark_all_algorithms():
     a = fixtures.banded_csr(30, bandwidth=2, seed=40)
     A = CSR.from_scipy(a)
-    rep = harness.run_benchmark(A, A, ("baseline", "csr", "dia", "ell",
-                                       "coo", "dense"), iters=1)
+    rep = harness.run_benchmark(A, A, ("baseline", "csr", "esc", "dia",
+                                       "ell", "coo", "dense"), iters=1)
     names = {r.name: r for r in rep.results}
     assert names["baseline"].ok
-    for alg in ("csr", "dia", "ell", "coo", "dense"):
+    for alg in ("csr", "esc", "dia", "ell", "coo", "dense"):
         assert names[alg].ok, f"{alg}: {names[alg].error}"
         assert not names[alg].error, names[alg].error
         # checksums agree with the oracle baseline

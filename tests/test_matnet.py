@@ -150,3 +150,27 @@ def test_p100_gpu_menu_selection():
         _pytest.skip("P100 weights not present")
     assert sel.algorithm in autotune.GPU_CLASS_TO_ALGORITHM
     assert len(sel.logits) == 3
+
+
+def test_spgemm_auto_dispatches_strategy_menu(monkeypatch):
+    """The round-3 strategy-distinct menu names (esc, hash, dense_row)
+    must run through spgemm_auto and produce a correct CSR."""
+    import numpy as np
+
+    from ia_spgemm_tpu import autotune
+    from ia_spgemm_tpu.formats.types import CSR
+    from tests import fixtures
+
+    a = fixtures.banded_csr(48, bandwidth=2, seed=8).astype(np.float32)
+    A = CSR.from_scipy(a)
+    want = (a @ a).toarray()
+    for algo in ("esc", "dense_row", "hash", "bitonic"):
+        monkeypatch.setattr(
+            autotune, "select_algorithm",
+            lambda *args, _algo=algo, **kw: autotune.AutotuneResult(
+                algorithm=_algo, class_index=0, logits=None,
+                feature_vector=None))
+        C, sel = autotune.spgemm_auto(A, A)
+        assert sel.algorithm == algo
+        got = C.to_scipy().toarray()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -83,3 +83,19 @@ def test_load_samples_rejects_nonfinite_features(tmp_path):
     upcycle.save_samples(p, [s, b])
     with pytest.raises(ValueError, match="poisoned"):
         upcycle.load_samples(p)
+
+
+def test_samples_menu_roundtrip(tmp_path):
+    """Round-3 checkpoints record the class menu their labels index;
+    older checkpoints return None (callers fall back to the v1 menu)."""
+    s = upcycle.Sample(img1=np.zeros((128, 128), np.float32),
+                       img2=np.zeros((128, 128), np.float32),
+                       feats=np.zeros(26, np.float64),
+                       label=1, winner="esc", matrix_name="x")
+    p = str(tmp_path / "v2.npz")
+    menu = ("bitonic", "esc", "hash", "dia", "dense_row")
+    upcycle.save_samples(p, [s], menu=menu)
+    assert tuple(upcycle.load_samples_menu(p)) == menu
+    p1 = str(tmp_path / "v1.npz")
+    upcycle.save_samples(p1, [s])
+    assert upcycle.load_samples_menu(p1) is None
