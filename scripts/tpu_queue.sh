@@ -27,23 +27,33 @@ x = jnp.ones((256, 256))
 print(float((x @ x).sum()), jax.devices())" \
   || { echo 'TPU unreachable — aborting queue'; exit 1; }
 
-# 1. headline route comparison (decides/validates the bench winner)
+# 1. the driver's benchmark line (the round's proof-of-life number).
+# The probe above already verified the claim, so skip bench.py's own
+# supervisor (its retry budget would outlive this step's timeout).
+TMO=2700 IA_SPGEMM_BENCH_NO_SUPERVISE=1 run bench python bench.py
+
+# 2. headline route comparison (decides/validates the bench winner)
 TMO=1800 run headline_routes python scripts/x_headline_routes.py
 
-# 1b. A/B: fused sort+compress extended to the 512 class
+# 2b. A/B: fused sort+compress extended to the 512 class
 TMO=1800 IA_SPGEMM_FUSED_MAX_WIDTH=512 run headline_routes_fused512 \
   python scripts/x_headline_routes.py
 
-# 2. acceptance: refreshes reports/fixture_sweeps.json + headline_rooflines.json
+# 3. acceptance: refreshes reports/fixture_sweeps.json + headline_rooflines.json
 TMO=3600 run acceptance python scripts/acceptance.py
 
-# 3. the driver's benchmark line
-TMO=1800 run bench python bench.py
+# 4. real-chip D=1 ring point, then the modeled ICI curve beside the
+#    virtual-mesh one (CPU pass reads the d1 entry back)
+TMO=1800 run scaling_d1 python -m ia_spgemm_tpu.bench.scaling \
+  --write reports/scaling_d1_r03.json
+TMO=3600 run scaling_model python -m ia_spgemm_tpu.bench.scaling --cpu \
+  --d1-from reports/scaling_d1_r03.json --write reports/scaling_r03.json
 
-# 4. harvest resume (long: ~90 matrices; process-isolated per matrix)
+# 5. strategy-distinct harvest (long; process-isolated + checkpointed per
+#    matrix — rerun this step to resume after any interruption)
 TMO=14400 run harvest python scripts/upcycle_tpu.py
 
-# 5. retrain on the grown checkpoint (CPU; safe to run any time)
+# 6. retrain on the harvested checkpoint (CPU; safe to run any time)
 TMO=3600 run retrain python scripts/retrain_from_checkpoint.py
 
 echo "queue done — logs in $LOG"
