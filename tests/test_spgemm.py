@@ -401,3 +401,27 @@ def test_plan_csr_tiled_budget_guard():
         assert esc_mod.plan_csr_tiled(A, A) is None
     finally:
         esc_mod.TILED_ELL_BUDGET_ELEMS = orig
+
+
+def test_plan_workspace_bucket_stays_int32():
+    """A workspace near 2^31 must not let the BUCKETED capacity round
+    past int32 positions: E=2e9 buckets to 16*2^27 = 2^31 exactly, which
+    would overflow the position arithmetic without the ws guard (the
+    guard shrinks ws so such an E takes the sliced path instead)."""
+    import scipy.sparse as sp
+    m, k = 2000, 1000
+    # k DISTINCT columns per row (duplicates would be merged by the CSR
+    # canonicalization and shrink E below the overflow regime)
+    cols = ((np.arange(k)[None, :] + np.arange(m)[:, None]) % m).ravel()
+    a = sp.csr_matrix(
+        (np.ones(m * k, np.float32),
+         cols, np.arange(0, m * k + 1, k)), shape=(m, m))
+    A = CSR.from_scipy(a)
+    i32max = np.iinfo(np.int32).max
+    plan = esc.plan_spgemm(A, A, workspace_elems=i32max - 1)
+    assert plan.flops == 2_000_000_000  # each product row is k long
+    caps = [plan.expansion_capacity, plan.out_capacity,
+            plan.rows_capacity, plan.nnza_capacity,
+            plan.total_out_capacity]
+    for cap in caps:
+        assert cap is None or 0 < cap <= i32max - 1
