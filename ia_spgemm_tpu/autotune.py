@@ -141,9 +141,12 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
             return _as_csr(C), sel
         algo = "csr"
     if algo == "esc":
-        # forced global-sort ESC (the strategy-distinct class name)
-        from ia_spgemm_tpu.ops import esc as _esc
-        return _esc.spgemm_csr(A, B, _esc.plan_spgemm(A, B)), sel
+        # forced global-sort ESC (the strategy-distinct class name); a
+        # workspace-overflow ValueError falls back like any rejected pick
+        try:
+            return esc.spgemm_csr(A, B, esc.plan_spgemm(A, B)), sel
+        except ValueError:
+            algo = "csr"
     if algo == "dense_row":
         from ia_spgemm_tpu.ops import dense_row as dr_ops
         Ae = convert.csr_to_ell(A, check_guard=False)

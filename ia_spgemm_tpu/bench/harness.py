@@ -182,21 +182,22 @@ def run_benchmark(A: CSR, B: CSR,
                 timeout_s = max(config.timeout_scale * ms / 1e3, 5.0)
                 continue
 
+            # custom menus without a leading 'baseline' have no
+            # 20x-baseline budget — fall back to a fixed wall-clock cap
+            # so the watchdog never silently disarms (isolated OR
+            # in-process)
+            budget_s = timeout_s if timeout_s is not None \
+                else config.default_timeout_s
             if isolate:
                 from ia_spgemm_tpu.bench.isolated import (
                     bench_algorithm_isolated,
                 )
-                # custom menus without a leading 'baseline' have no
-                # 20x-baseline budget — fall back to a fixed wall-clock
-                # cap so the watchdog never silently disarms
-                iso_timeout = timeout_s if timeout_s is not None \
-                    else config.isolate_default_timeout_s
                 iso = bench_algorithm_isolated(
-                    A, B, name, timeout_s=iso_timeout, iters=iters,
+                    A, B, name, timeout_s=budget_s, iters=iters,
                     backend=isolate_backend)
                 report.results[-1] = iso
                 continue
-            out = _bench_one(name, A, B, config, timeout_s, res, iters)
+            out = _bench_one(name, A, B, config, budget_s, res, iters)
             if out is None:
                 continue
         except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
@@ -439,12 +440,18 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         res.memory_bytes = (convert.sizeof_coo(C.nrows, int(C.nnz))
                             if name == "coo"
                             else convert.sizeof_csr(C.nrows, int(C.nnz)))
-    elif name in ("ell", "bitonic", "hash"):
+    elif name in ("ell", "bitonic"):
         res.memory_bytes = convert.sizeof_ell(C.nrows, C.max_nnz_per_row)
+    elif name == "hash":
+        # the hash table width H carries >=2x load-factor padding and
+        # holes; report the CANONICAL ELL footprint (widest real row),
+        # comparable with the ell/bitonic rows
+        k_real = int(np.asarray(C.nnz_row).max(initial=0))
+        res.memory_bytes = convert.sizeof_ell(C.nrows, max(k_real, 1))
     elif name == "dia":
         res.memory_bytes = convert.sizeof_dia(C.nrows, C.ncols,
                                               C.num_diagonals)
-    elif name == "dense":
+    elif name in ("dense", "dense_row"):
         res.memory_bytes = 8.0 * C.nrows * C.ncols
     res.ok = True
     return C

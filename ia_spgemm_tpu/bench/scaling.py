@@ -116,7 +116,12 @@ def model_ring_efficiency(A: CSR, device_counts: Sequence[int] = (1, 2, 4, 8),
     d1_real_chip)."""
     kb = int(A.max_nnz_per_row) if hasattr(A, "max_nnz_per_row") else \
         int(np.diff(np.asarray(A.row_ptr)).max(initial=0))
-    b_bytes = convert.sizeof_ell(A.nrows, kb)
+    # WIRE bytes of the padded ELL shard the ring actually ships:
+    # 4 B col + itemsize val per slot (sizeof_ell's reference formula
+    # assumes 8-byte doubles and would overstate f32 traffic 1.5x)
+    val_bytes = np.dtype(np.asarray(A.values).dtype).itemsize \
+        if hasattr(A, "values") else 4
+    b_bytes = A.nrows * kb * (4 + val_bytes)
     out = []
     for d in device_counts:
         comm_ms = 0.0 if d == 1 else \
@@ -176,9 +181,15 @@ def main():
         if arg == "--d1-from" and i + 1 < len(sys.argv):
             # import a prior real-chip D=1 measurement and model the ICI
             # curve from ITS compute time — the virtual-mesh curve's
-            # decay prices the interpreter, this one prices the wire
-            with open(sys.argv[i + 1]) as f:
-                d1 = json.load(f).get("d1_real_chip")
+            # decay prices the interpreter, this one prices the wire.
+            # A missing/garbled d1 file must not discard the report the
+            # measurement pass just spent minutes producing.
+            try:
+                with open(sys.argv[i + 1]) as f:
+                    d1 = json.load(f).get("d1_real_chip")
+            except (OSError, ValueError) as e:
+                rep["d1_import_error"] = f"{type(e).__name__}: {e}"
+                d1 = None
             if d1:
                 rep["d1_real_chip"] = d1
                 rep["model_v5e_ici_from_d1"] = model_ring_efficiency(

@@ -151,7 +151,8 @@ def main(argv=None) -> int:
         return 0
 
     algorithms = (harness.ALGORITHMS
-                  + ("bitonic", "compensated", "dense", "hash")
+                  + ("esc", "bitonic", "compensated", "dense",
+                     "dense_row", "hash")
                   if args.mode == "all" else ("baseline", args.mode))
     rep = harness.run_benchmark(
         A, B, algorithms,

@@ -45,9 +45,10 @@ class SpGEMMConfig:
     density_image_size: int = DENSITY_IMAGE_SIZE
     # Benchmark timeout scale.
     timeout_scale: float = TIMEOUT_SCALE
-    # Watchdog budget for --isolate runs when the menu carries no
-    # baseline to scale from (20x-baseline is the normal rule).
-    isolate_default_timeout_s: float = 300.0
+    # Watchdog budget when the menu carries no baseline to scale from
+    # (20x-baseline is the normal rule) — applies to both the isolated
+    # and the in-process benchmark paths.
+    default_timeout_s: float = 300.0
 
 
 DEFAULT_CONFIG = SpGEMMConfig()

@@ -266,11 +266,19 @@ def write_mtx(path, csr, field: str = "real", comment: str | None = None,
         raise MatrixMarketError(f"unknown write symmetry {symmetry!r}")
     sp = csr.to_scipy().tocoo()
     rows, cols, data = sp.row, sp.col, sp.data
-    if symmetry == "symmetric":
-        keep = rows >= cols
-        rows, cols, data = rows[keep], cols[keep], data[keep]
-    elif symmetry == "skew-symmetric":
-        keep = rows > cols
+    if symmetry in ("symmetric", "skew-symmetric"):
+        # the dropped upper triangle must be reconstructible, or the
+        # file silently corrupts on read-back — verify, don't trust
+        m = sp.tocsr()
+        mt = m.T.tocsr()
+        diff = (m + mt) if symmetry == "skew-symmetric" else (m - mt)
+        scale = max(1.0, float(abs(m).max() if m.nnz else 0.0))
+        err = float(abs(diff).max()) / scale if diff.nnz else 0.0
+        if err > 1e-12:
+            raise MatrixMarketError(
+                f"matrix is not {symmetry} (max asymmetry {err:.3g}); "
+                "writing it with this typecode would corrupt it")
+        keep = (rows >= cols) if symmetry == "symmetric" else (rows > cols)
         rows, cols, data = rows[keep], cols[keep], data[keep]
     with open(path, "w") as f:
         f.write(f"%%MatrixMarket matrix coordinate {field} {symmetry}\n")

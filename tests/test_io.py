@@ -140,3 +140,17 @@ def test_write_symmetric_typecode_roundtrip(tmp_path, sym):
     np.testing.assert_allclose(back_scipy, dense, rtol=0, atol=0)
     back_ours = mmio.read_mtx_to_csr(str(path)).to_scipy().toarray()
     np.testing.assert_allclose(back_ours, dense, rtol=0, atol=0)
+
+
+def test_write_symmetric_rejects_asymmetric(tmp_path):
+    """Writing a non-symmetric matrix with a symmetric typecode would
+    silently corrupt it on read-back — must raise instead."""
+    from ia_spgemm_tpu.formats.types import CSR
+    a = scipy.sparse.csr_matrix(
+        np.array([[1.0, 2.0], [3.0, 4.0]]))
+    with pytest.raises(mmio.MatrixMarketError, match="not symmetric"):
+        mmio.write_mtx(str(tmp_path / "x.mtx"), CSR.from_scipy(a),
+                       symmetry="symmetric")
+    with pytest.raises(mmio.MatrixMarketError, match="not skew"):
+        mmio.write_mtx(str(tmp_path / "y.mtx"), CSR.from_scipy(a),
+                       symmetry="skew-symmetric")

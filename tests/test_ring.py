@@ -177,11 +177,11 @@ def test_scaling_model_shapes_and_limits():
     ptsw = scaling.model_ring_efficiency(A, (1, 2, 4, 8), t1_ms=1e-3)
     effs = [p["efficiency"] for p in ptsw[1:]]
     assert all(e2 < e1 for e1, e2 in zip(effs, effs[1:]))
-    # per-link bytes: one B shard per step
+    # per-link bytes: one B shard per step, at WIRE width (4 B col +
+    # 4 B f32 val per padded ELL slot)
     kb = int(np.diff(np.asarray(A.row_ptr)).max())
-    from ia_spgemm_tpu.formats import convert as _c
     assert ptsw[2]["comm_bytes_per_link"] == int(
-        _c.sizeof_ell(A.nrows, kb) / 4)
+        A.nrows * kb * 8 / 4)
     # no-overlap pricing is never faster than overlapped
     pts_no = scaling.model_ring_efficiency(A, (8,), t1_ms=5.0,
                                            overlap=False)
