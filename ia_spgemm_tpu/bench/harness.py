@@ -310,6 +310,13 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         def compute(ab):
             return dia_ops.spgemm_dia(ab[0], ab[1])
     elif name == "dense":
+        vb = np.dtype(A.dtype).itemsize
+        dense_elems = (A.nrows * A.ncols + B.nrows * B.ncols
+                       + A.nrows * B.ncols)
+        if dense_elems * vb > config.dense_bytes_budget:
+            res.skipped = True  # A, B and C all densify — HBM guard
+            return None
+
         def convert_fn():
             return convert.csr_to_dense(A), convert.csr_to_dense(B)
 
@@ -317,7 +324,11 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
             return dense_ops.spgemm_dense(ab[0], ab[1])
     elif name == "dense_row":
         from ia_spgemm_tpu.ops import dense_row as dr_ops
-        if B.ncols > dr_ops.MAX_N_F32 or csr_to_ell_probe(A, ratio) is None:
+        vb = np.dtype(A.dtype).itemsize
+        dense_elems = B.nrows * B.ncols + A.nrows * B.ncols  # B + C
+        if (B.ncols > dr_ops.MAX_N_F32
+                or dense_elems * vb > config.dense_bytes_budget
+                or csr_to_ell_probe(A, ratio) is None):
             res.skipped = True
             return None
 

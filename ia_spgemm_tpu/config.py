@@ -49,6 +49,11 @@ class SpGEMMConfig:
     # (20x-baseline is the normal rule) — applies to both the isolated
     # and the in-process benchmark paths.
     default_timeout_s: float = 300.0
+    # HBM budget for the dense/dense_row routes' materialized dense
+    # operands + output (the reference's `choice` guard, adapted to the
+    # failure mode that matters on a 16 GB chip: a 65536^2 densify is an
+    # OOM, not a 50x-footprint inefficiency).
+    dense_bytes_budget: float = 6 * 2**30
 
 
 DEFAULT_CONFIG = SpGEMMConfig()

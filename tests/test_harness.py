@@ -233,3 +233,26 @@ def test_hash_route_first_class():
     rep64 = harness.run_benchmark(A64, A64, ("baseline", "hash"), iters=1)
     h64 = {r.name: r for r in rep64.results}["hash"]
     assert h64.skipped and not h64.error
+
+
+def test_dense_routes_skip_past_hbm_budget(monkeypatch):
+    """dense/dense_row materialize (m, n) arrays; past the HBM budget the
+    guard must skip them (a 65536^2 densify is an OOM on a 16 GB chip),
+    like every other format's viability guard."""
+    import dataclasses
+
+    from ia_spgemm_tpu import config as cfg
+
+    a = fixtures.banded_csr(64, bandwidth=2, seed=42)
+    A = CSR.from_scipy(a)
+    tiny = dataclasses.replace(cfg.DEFAULT_CONFIG, dense_bytes_budget=64)
+    rep = harness.run_benchmark(A, A, ("baseline", "dense", "dense_row"),
+                                iters=1, config=tiny)
+    names = {r.name: r for r in rep.results}
+    assert names["dense"].skipped and not names["dense"].error
+    assert names["dense_row"].skipped and not names["dense_row"].error
+    # and with the real budget this size runs
+    rep2 = harness.run_benchmark(A, A, ("baseline", "dense", "dense_row"),
+                                 iters=1)
+    names2 = {r.name: r for r in rep2.results}
+    assert names2["dense"].ok and names2["dense_row"].ok
