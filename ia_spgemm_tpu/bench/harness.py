@@ -270,6 +270,11 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
             res.skipped = True
             return None
         plan = esc.plan_spgemm(A, B, bucket=config.bucket_capacities)
+        if plan.slabs is not None:
+            # the compensated engine does not slice — honest skip, the
+            # same contract spgemm_csr_compensated enforces by raising
+            res.skipped = True
+            return None
         convert_fn = None
 
         def compute(ab=(A, B)):

@@ -100,8 +100,9 @@ def plan_spgemm(A: CSR, B: CSR, *, bucket: bool = True,
         ws -= max(ws // 16, 1)
     E, out_bound, max_rf, rf = symbolic.plan_symbolic(A, B,
                                                       return_rows=True)
-    b_maxlen = int(jnp.max(B.row_ptr[1:] - B.row_ptr[:-1])) \
-        if B.row_ptr.shape[0] > 1 else 0
+    # host diff of the (m+1)-sized row_ptr: one small D2H instead of a
+    # blocking device reduction right after plan_symbolic's host pass
+    b_maxlen = int(np.diff(np.asarray(B.row_ptr)).max(initial=0))
     run = 1 << max(b_maxlen - 1, 0).bit_length()
     if E > ws:
         if max_rf > ws:
@@ -109,15 +110,16 @@ def plan_spgemm(A: CSR, B: CSR, *, bucket: bool = True,
                 f"a single row expands to {max_rf} products, beyond the "
                 f"{ws}-element workspace; row-partition the problem "
                 "(ia_spgemm_tpu.parallel) or raise workspace_elems")
-        # greedy slabs over the row-flops prefix sum
+        # greedy slabs over the row-flops prefix sum: searchsorted per
+        # SLAB (the reference's upper_bound over
+        # cummulative_row_workspace, coo_dev:388-421), not a Python
+        # iteration per ROW
+        csum = np.concatenate([[0], np.cumsum(rf, dtype=np.int64)])
         bounds = [0]
-        acc = 0
-        for r, f in enumerate(rf):
-            if acc + f > ws:
-                bounds.append(r)
-                acc = 0
-            acc += int(f)
-        bounds.append(len(rf))
+        while bounds[-1] < len(rf):
+            r0 = bounds[-1]
+            r1 = int(np.searchsorted(csum, csum[r0] + ws, side="right")) - 1
+            bounds.append(max(r1, r0 + 1))  # max_rf<=ws ⇒ r1>r0 normally
         slabs = tuple(bounds)
         spans = [(slabs[i], slabs[i + 1]) for i in range(len(slabs) - 1)]
         row_ptr = np.asarray(A.row_ptr, dtype=np.int64)
@@ -463,7 +465,10 @@ def _spgemm_csr_sliced(A: CSR, B: CSR, plan: SpGEMMPlan) -> CSR:
     total_cap = plan.total_out_capacity
     # one slab of padding so padded piece writes never clamp
     col_out = jnp.full((total_cap + plan.out_capacity,), n, jnp.int32)
-    val_out = jnp.zeros((total_cap + plan.out_capacity,), A.values.dtype)
+    # pieces come back in result_type(A, B): mixed-dtype operands must
+    # assemble at that dtype, like the unsliced path
+    out_dtype = jnp.result_type(A.values.dtype, B.values.dtype)
+    val_out = jnp.zeros((total_cap + plan.out_capacity,), out_dtype)
     rp_out = jnp.zeros((m + 1 + plan.rows_capacity,), jnp.int32)
     off = 0
     slabs = plan.slabs
@@ -744,6 +749,14 @@ def spgemm_csr_compensated(A: CSR, B: CSR,
         raise ValueError("compensated path takes float32 operands")
     if plan is None:
         plan = plan_spgemm(A, B)
+    if plan.slabs is not None:
+        # a sliced plan's capacities are PER-SLAB; running the whole
+        # matrix against them would silently truncate the expansion
+        raise ValueError(
+            f"expansion {plan.flops} exceeds the single-slab workspace "
+            "and the compensated path does not slice; raise "
+            "workspace_elems in plan_spgemm or row-partition "
+            "(ia_spgemm_tpu.parallel)")
     a_row = entry_rows(A.row_ptr, A.capacity)
     e_cap = (plan.expansion_capacity if plan.variant == "gather"
              else cfg.bucket_capacity(plan.flops))
@@ -763,6 +776,12 @@ def spgemm_coo(A: COO, B: COO, plan: SpGEMMPlan | None = None) -> COO:
     from ia_spgemm_tpu.formats.convert import coo_to_csr, csr_to_coo
     if plan is None:
         plan = plan_spgemm(coo_to_csr(A), coo_to_csr(B))
+    if plan.slabs is not None:
+        # sliced plans carry PER-SLAB capacities; a single whole-matrix
+        # core call would silently truncate — run the sliced CSR engine
+        # and convert back instead
+        C = _spgemm_csr_sliced(coo_to_csr(A), coo_to_csr(B), plan)
+        return csr_to_coo(C)
     row_ptr, col, val, nnz = _esc_core(
         A.row_ind, A.col_ind, A.values, A.nnz,
         B.row_offset, B.col_ind, B.values,

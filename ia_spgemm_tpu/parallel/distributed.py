@@ -245,7 +245,11 @@ def dist_spgemm(A: ShardedCSR, B, mesh: Mesh,
 
 def plan_dist_spgemm(A: CSR, B: CSR, num_shards: int,
                      *, balance: str = "rows") -> Tuple[int, int]:
-    """Per-shard (e_cap, out_cap): max expansion over row blocks."""
+    """Per-shard (e_cap, out_cap): max expansion / output bound over row
+    blocks. Guards the same int32 position arithmetic the single-chip
+    planner does (esc.py) — this is the planner plan_spgemm's overflow
+    errors redirect users to, so it must not itself wrap."""
+    m = A.nrows
     bounds = _row_boundaries(A, num_shards, balance, B)
     rp = np.asarray(A.row_ptr).astype(np.int64)
     nnzA = int(A.nnz)
@@ -253,13 +257,21 @@ def plan_dist_spgemm(A: CSR, B: CSR, num_shards: int,
     b_len = np.diff(np.asarray(B.row_ptr)).astype(np.int64)
     per_entry = b_len[np.clip(col, 0, B.nrows - 1)]
     csum = np.concatenate([[0], np.cumsum(per_entry)])
-    e_max = 1
+    # per-row flops -> per-row output bound min(flops, n)
+    per_row = csum[rp[1:]] - csum[rp[:-1]]
+    ocsum = np.concatenate(
+        [[0], np.cumsum(np.minimum(per_row, B.ncols), dtype=np.int64)])
+    e_max, o_max = 1, 1
     for d in range(num_shards):
         e0, e1 = int(rp[bounds[d]]), int(rp[bounds[d + 1]])
         e_max = max(e_max, int(csum[e1] - csum[e0]))
-    e_cap = cfg.bucket_capacity(e_max)
-    out_cap = e_cap
-    return e_cap, out_cap
+        o_max = max(o_max, int(ocsum[bounds[d + 1]] - ocsum[bounds[d]]))
+    i32max = np.iinfo(np.int32).max
+    if cfg.bucket_capacity(e_max) > i32max - 1:
+        raise ValueError(
+            f"a shard's expansion ({e_max}) overflows int32 positions; "
+            "use more shards or balance='flops'")
+    return cfg.bucket_capacity(e_max), cfg.bucket_capacity(o_max)
 
 
 def gather_result(C: ShardedCSR) -> CSR:

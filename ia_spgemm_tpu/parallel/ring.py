@@ -152,6 +152,12 @@ def ring_spgemm(A: ShardedELL, B: ShardedELL, mesh: Mesh,
     block are O(1) per entry (round 1 required contiguous B blocks).
     Sub-run splitting (plan.chunks > 1) is applied to the circulating
     block's packed table exactly as the single-chip expand does."""
+    if not plan.viable:
+        # a non-viable plan carries placeholder dims; driving it into
+        # the Pallas kernel means a Mosaic compile blowup, not an error
+        raise ValueError(
+            f"ring plan not viable (width {plan.width}); split sub-runs "
+            "further or fall back to the distributed ESC path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m, _ = A.shape

@@ -107,3 +107,35 @@ def test_dist_spgemm_sharded_B_flops_balanced(mesh):
     e_cap, out_cap = dist.plan_dist_spgemm(A, A, 8, balance="flops")
     C = dist.dist_spgemm(As, Bs, mesh, e_cap=e_cap, out_cap=out_cap)
     _check(a, a, dist.gather_result(C))
+
+
+def test_plan_dist_out_cap_is_output_bound():
+    """out_cap must be the per-shard sum(min(row_flops, n)) bound, not a
+    copy of e_cap (which oversizes output buffers by E/nnz(C))."""
+    from ia_spgemm_tpu.parallel import distributed as dist
+    a = fixtures.random_csr(64, 8, density=0.6, seed=60)  # n=8 << flops
+    b = fixtures.random_csr(8, 8, density=0.9, seed=61)
+    A, B = CSR.from_scipy(a), CSR.from_scipy(b)
+    e_cap, out_cap = dist.plan_dist_spgemm(A, B, 2)
+    assert out_cap < e_cap  # many collisions: nnz(C) bound << E
+    # and still sufficient for the actual result
+    want_nnz_per_shard = max(
+        (a[:32] @ b).tocsr().nnz, (a[32:] @ b).tocsr().nnz)
+    assert out_cap >= want_nnz_per_shard
+
+
+def test_plan_dist_int32_guard():
+    """The parallel planner plan_spgemm redirects to must itself refuse
+    int32-overflowing shard expansions instead of wrapping."""
+    import scipy.sparse as sp
+    from ia_spgemm_tpu.parallel import distributed as dist
+    m, k = 2000, 1000
+    cols = ((np.arange(k)[None, :] + np.arange(m)[:, None]) % m).ravel()
+    a = sp.csr_matrix((np.ones(m * k, np.float32), cols,
+                       np.arange(0, m * k + 1, k)), shape=(m, m))
+    A = CSR.from_scipy(a)  # E = 2e9 -> bucket rounds to 2^31
+    with pytest.raises(ValueError, match="more shards"):
+        dist.plan_dist_spgemm(A, A, 1)
+    # with enough shards the same problem plans fine
+    e_cap, out_cap = dist.plan_dist_spgemm(A, A, 8)
+    assert e_cap < 2**31

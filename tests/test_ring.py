@@ -187,3 +187,16 @@ def test_scaling_model_shapes_and_limits():
                                            overlap=False)
     pts_ov = scaling.model_ring_efficiency(A, (8,), t1_ms=5.0)
     assert pts_no[0]["time_ms"] >= pts_ov[0]["time_ms"]
+
+
+def test_ring_rejects_nonviable_plan(mesh):
+    """A non-viable plan must raise, not drive placeholder dims into the
+    Pallas kernel (Mosaic compile blowup)."""
+    import dataclasses
+    a = fixtures.banded_csr(32, bandwidth=1, seed=77).astype(np.float32)
+    A = convert.csr_to_ell(CSR.from_scipy(a), check_guard=False)
+    As = ring.partition_rows_ell(A, 8, mesh=mesh)
+    plan = ring.plan_ring(A, A, 8)
+    bad = dataclasses.replace(plan, viable=False)
+    with pytest.raises(ValueError, match="not viable"):
+        ring.ring_spgemm(As, As, mesh, bad)

@@ -425,3 +425,47 @@ def test_plan_workspace_bucket_stays_int32():
             plan.total_out_capacity]
     for cap in caps:
         assert cap is None or 0 < cap <= i32max - 1
+
+
+def test_compensated_rejects_sliced_plan():
+    """A sliced plan's capacities are per-slab; the compensated engine
+    must refuse them loudly (running anyway silently truncated the
+    expansion before this guard)."""
+    a = fixtures.random_csr(60, 60, density=0.15, seed=26)
+    A = CSR.from_scipy(a.astype(np.float32))
+    plan = esc.plan_spgemm(A, A, workspace_elems=150)
+    assert plan.slabs is not None
+    with pytest.raises(ValueError, match="does not slice"):
+        esc.spgemm_csr_compensated(A, A, plan)
+
+
+def test_coo_routes_sliced_plan_through_sliced_engine():
+    """spgemm_coo with a sliced plan must produce the full product (it
+    used to run one whole-matrix core call against per-slab capacities,
+    silently dropping products past the slab workspace)."""
+    from ia_spgemm_tpu.formats import convert
+    a = fixtures.random_csr(60, 60, density=0.15, seed=27)
+    A = CSR.from_scipy(a)
+    plan = esc.plan_spgemm(A, A, workspace_elems=150)
+    assert plan.slabs is not None
+    C = esc.spgemm_coo(convert.csr_to_coo(A), convert.csr_to_coo(A), plan)
+    got = convert.coo_to_csr(C).to_scipy()
+    got.sum_duplicates()
+    want = _oracle(a, a)
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) < fp_tol()
+    assert int(C.nnz) == want.nnz
+
+
+def test_sliced_mixed_dtype_assembles_at_result_type():
+    a = fixtures.random_csr(40, 40, density=0.15, seed=28)
+    A32 = CSR.from_scipy(a.astype(np.float32))
+    A64 = CSR.from_scipy(a.astype(np.float64))
+    plan = esc.plan_spgemm(A32, A64, workspace_elems=150)
+    assert plan.slabs is not None
+    C = esc.spgemm_csr(A32, A64, plan)
+    assert np.dtype(C.values.dtype) == np.float64
+    want = _oracle(a, a)
+    got = C.to_scipy()
+    got.sum_duplicates()
+    assert abs(got - want).max() < 1e-5  # f32 operand limits accuracy
