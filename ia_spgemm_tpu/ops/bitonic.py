@@ -705,26 +705,8 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int,
         ka = ka * chunks
     parity = (jax.lax.broadcasted_iota(jnp.int32, (1, ka), 1) & 1)
     rows = jnp.clip(a_col, 0, k - 1) + k * parity        # (m, ka)
-    if a_val.dtype == jnp.float32:
-        # 2-D packed (col | value-bits) table + FLAT indices: one gather at
-        # ~index-count cost (the 3-D gather form costs ~50x more).
-        fwd = jnp.concatenate(
-            [bc_p, jax.lax.bitcast_convert_type(bv_p, jnp.int32)], axis=1)
-        rev = jnp.concatenate(
-            [jnp.flip(bc_p, axis=1),
-             jax.lax.bitcast_convert_type(jnp.flip(bv_p, axis=1),
-                                          jnp.int32)], axis=1)
-        table = jnp.concatenate([fwd, rev], axis=0)      # (2k, 2*run)
-        g = table[rows.reshape(-1)]                      # (m*ka, 2*run)
-        bc = g[:, :run].reshape(m, ka, run)
-        bv = jax.lax.bitcast_convert_type(g[:, run:], jnp.float32
-                                          ).reshape(m, ka, run)
-    else:
-        bc_t = jnp.concatenate([bc_p, jnp.flip(bc_p, axis=1)], axis=0)
-        bv_t = jnp.concatenate([bv_p, jnp.flip(bv_p, axis=1)], axis=0)
-        flat = rows.reshape(-1)
-        bc = bc_t[flat].reshape(m, ka, run)
-        bv = bv_t[flat].reshape(m, ka, run)
+    bc, bv = doubled_table_gather(bc_p, bv_p, rows.reshape(-1),
+                                  run=run, out_shape=(m, ka, run))
     valid = (a_col >= 0)[:, :, None] & (bc >= 0)
     key = jnp.where(valid, bc, SENTINEL).reshape(m, ka * run)
     val = jnp.where(valid, a_val[:, :, None] * bv, 0).reshape(m, ka * run)
@@ -739,6 +721,36 @@ def _expand_ell(a_col, a_val, b_col, b_val, *, width: int, run: int,
         key = jnp.pad(key, ((0, 0), (0, pad)), constant_values=SENTINEL)
         val = jnp.pad(val, ((0, 0), (0, pad)))
     return key, val
+
+
+def doubled_table_gather(bc_p, bv_p, rows_flat, *, run: int, out_shape):
+    """(fwd + reversed-rows) packed-table gather, shared by the
+    single-chip expand above and the ring step (parallel/ring.py).
+
+    2-D packed (col | value-bits) table + FLAT indices: one gather at
+    ~index-count cost (the 3-D gather form costs ~50x more). The
+    reversal is baked into the GATHER SOURCE, not applied after — a
+    post-gather flip+where fused onto a large gather miscompiled on TPU
+    at m=32768 (wiped slices to the fill value); any fix to this motif
+    must land here so both callers get it."""
+    if bv_p.dtype == jnp.float32:
+        fwd = jnp.concatenate(
+            [bc_p, jax.lax.bitcast_convert_type(bv_p, jnp.int32)], axis=1)
+        rev = jnp.concatenate(
+            [jnp.flip(bc_p, axis=1),
+             jax.lax.bitcast_convert_type(jnp.flip(bv_p, axis=1),
+                                          jnp.int32)], axis=1)
+        table = jnp.concatenate([fwd, rev], axis=0)      # (2k, 2*run)
+        g = table[rows_flat]                             # (idx, 2*run)
+        bc = g[:, :run].reshape(out_shape)
+        bv = jax.lax.bitcast_convert_type(g[:, run:], jnp.float32
+                                          ).reshape(out_shape)
+    else:
+        bc_t = jnp.concatenate([bc_p, jnp.flip(bc_p, axis=1)], axis=0)
+        bv_t = jnp.concatenate([bv_p, jnp.flip(bv_p, axis=1)], axis=0)
+        bc = bc_t[rows_flat].reshape(out_shape)
+        bv = bv_t[rows_flat].reshape(out_shape)
+    return bc, bv
 
 
 @functools.partial(jax.jit, static_argnames=("run", "chunks"))

@@ -249,24 +249,8 @@ def _ring_fn(mesh: Mesh, D: int, m_loc: int, k_loc: int, ka: int, kb: int,
                            ).reshape(kc, run)
             parity = (jax.lax.broadcasted_iota(jnp.int32, (1, ke), 1) & 1)
             rows = (local_of + kc * parity).reshape(-1)
-            if a_val.dtype == jnp.float32:
-                fwd = jnp.concatenate(
-                    [bc_p, jax.lax.bitcast_convert_type(bv_p, jnp.int32)],
-                    axis=1)
-                rev = jnp.concatenate(
-                    [jnp.flip(bc_p, axis=1),
-                     jax.lax.bitcast_convert_type(
-                         jnp.flip(bv_p, axis=1), jnp.int32)], axis=1)
-                table = jnp.concatenate([fwd, rev], axis=0)
-                g = table[rows]
-                gc = g[:, :run].reshape(m_loc, ke, run)
-                gv = jax.lax.bitcast_convert_type(
-                    g[:, run:], jnp.float32).reshape(m_loc, ke, run)
-            else:
-                bc_t = jnp.concatenate([bc_p, jnp.flip(bc_p, axis=1)], 0)
-                bv_t = jnp.concatenate([bv_p, jnp.flip(bv_p, axis=1)], 0)
-                gc = bc_t[rows].reshape(m_loc, ke, run)
-                gv = bv_t[rows].reshape(m_loc, ke, run)
+            gc, gv = bitonic.doubled_table_gather(
+                bc_p, bv_p, rows, run=run, out_shape=(m_loc, ke, run))
             sel = in_blk[:, :, None] & (gc >= 0)
             key = jnp.where(in_blk[:, :, None],
                             jnp.where(sel, gc, bitonic.SENTINEL), key)
