@@ -48,6 +48,17 @@ class ShardedCSR:
         return self.row_ptr.shape[1] - 1
 
 
+def _entry_flops_csum(A: CSR, B: CSR) -> np.ndarray:
+    """Host prefix sum of per-entry intermediate products: csum[e] = Σ of
+    len(B row a_col[j]) for j < e. Row r's flops = csum[rp[r+1]] -
+    csum[rp[r]] — shared by the balancer and the capacity planner."""
+    nnzA = int(A.nnz)
+    col = np.asarray(A.col_ind)[:nnzA]
+    b_len = np.diff(np.asarray(B.row_ptr)).astype(np.int64)
+    per_entry = b_len[np.clip(col, 0, B.nrows - 1)]
+    return np.concatenate([[0], np.cumsum(per_entry)])
+
+
 def _row_boundaries(A: CSR, num_shards: int, balance: str,
                     B: CSR | None) -> np.ndarray:
     m = A.nrows
@@ -56,15 +67,8 @@ def _row_boundaries(A: CSR, num_shards: int, balance: str,
     elif balance == "flops":
         # balanced intermediate products per shard
         rp = np.asarray(A.row_ptr).astype(np.int64)
-        nnzA = int(A.nnz)
-        col = np.asarray(A.col_ind)[:nnzA]
-        if B is None:
-            B = A
-        b_len = np.diff(np.asarray(B.row_ptr)).astype(np.int64)
-        per_entry = b_len[np.clip(col, 0, B.nrows - 1)]
-        per_row = np.zeros(m, np.int64)
-        np.add.at(per_row, np.repeat(np.arange(m), np.diff(rp)), per_entry)
-        csum = np.concatenate([[0], np.cumsum(per_row)])
+        ecsum = _entry_flops_csum(A, B if B is not None else A)
+        csum = ecsum[rp]  # per-row flops prefix at row boundaries
         targets = np.linspace(0, csum[-1], num_shards + 1)
         bounds = np.searchsorted(csum, targets)
         bounds[0], bounds[-1] = 0, m
@@ -252,11 +256,7 @@ def plan_dist_spgemm(A: CSR, B: CSR, num_shards: int,
     m = A.nrows
     bounds = _row_boundaries(A, num_shards, balance, B)
     rp = np.asarray(A.row_ptr).astype(np.int64)
-    nnzA = int(A.nnz)
-    col = np.asarray(A.col_ind)[:nnzA]
-    b_len = np.diff(np.asarray(B.row_ptr)).astype(np.int64)
-    per_entry = b_len[np.clip(col, 0, B.nrows - 1)]
-    csum = np.concatenate([[0], np.cumsum(per_entry)])
+    csum = _entry_flops_csum(A, B)
     # per-row flops -> per-row output bound min(flops, n)
     per_row = csum[rp[1:]] - csum[rp[:-1]]
     ocsum = np.concatenate(
