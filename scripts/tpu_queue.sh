@@ -35,8 +35,10 @@ TMO=2700 IA_SPGEMM_BENCH_NO_SUPERVISE=1 run bench python bench.py
 # 2. headline route comparison (decides/validates the bench winner)
 TMO=1800 run headline_routes python scripts/x_headline_routes.py
 
-# 2b. A/B: fused sort+compress extended to the 512 class
+# 2b. A/B: fused sort+compress extended to the 512 / 1024 classes
 TMO=1800 IA_SPGEMM_FUSED_MAX_WIDTH=512 run headline_routes_fused512 \
+  python scripts/x_headline_routes.py
+TMO=1800 IA_SPGEMM_FUSED_MAX_WIDTH=1024 run headline_routes_fused1024 \
   python scripts/x_headline_routes.py
 
 # 3. acceptance: refreshes reports/fixture_sweeps.json + headline_rooflines.json
