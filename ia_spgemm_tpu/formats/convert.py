@@ -126,6 +126,13 @@ def csr_to_ell(A: CSR, width: int | None = None,
     """Returns None when the viability guard rejects the format
     (reference sets choice=false, ell/common_ell.h:71-74)."""
     K = plan_ell_width(A) if width is None else width
+    if width is not None and width < plan_ell_width(A):
+        # a narrower width would scatter a long row's overflow into its
+        # NEIGHBOR's slots (and return nnz_row > stored entries on the
+        # gather path) — refuse rather than corrupt
+        raise ValueError(
+            f"width {width} < max row length {plan_ell_width(A)}; "
+            "ELL cannot truncate rows")
     if check_guard and not ell_viable(A.nrows, int(A.nnz), K, ratio):
         return None
     if K == 0:
@@ -136,8 +143,12 @@ def csr_to_ell(A: CSR, width: int | None = None,
     # tile-pads 2 -> 128 lanes (64x memory, an OOM at K ~ 1200). Use the
     # gather only when padding is modest.
     slots_per_nnz = (A.nrows * K) / max(int(A.nnz), 1)
+    # ABSOLUTE cap too: the ratio alone admits huge uniform matrices
+    # whose (N, 2)->128-lane padding is ~512 B per slot transiently
+    # (measured: fine at ~1M pair-rows, OOM at ~40M on 16 GB HBM)
+    gather_slots_ok = max(A.nrows * K, int(A.nnz) + K) <= 2**23
     if (jax.default_backend() == "tpu" and A.values.dtype != jnp.float64
-            and slots_per_nnz <= 4.0):
+            and slots_per_nnz <= 4.0 and gather_slots_ok):
         # packed-gather fill: gathers beat scatters ~4x on v5e
         from ia_spgemm_tpu.formats.ell_fill import ell_fill_gather
         col_p = jnp.pad(A.col_ind, (0, K), constant_values=-1)
@@ -257,8 +268,11 @@ def _csr_to_dia_fill(row_ptr, col_ind, values, nnz, offsets,
     diag_ind = diag_ind.at[dense_idx].set(
         jnp.arange(num_diagonals, dtype=jnp.int32))
     slot = diag_ind[jnp.clip(off + nrows - 1, 0, nrows + ncols - 2)]
+    # slot = -1 means the entry's diagonal is NOT in `offsets` (caller-
+    # supplied subset): drop it rather than clip it onto slot 0, which
+    # silently overwrote the first diagonal's values
+    valid = (idx < nnz) & (slot >= 0)
     slot = jnp.clip(slot, 0, num_diagonals - 1)
-    valid = idx < nnz
     flat = jnp.where(valid, row * num_diagonals + slot, nrows * num_diagonals)
     vals = jnp.zeros(nrows * num_diagonals + 1, dtype=values.dtype)
     vals = vals.at[flat].set(jnp.where(valid, values, 0))

@@ -60,18 +60,37 @@ def _parse_banner(line: str) -> Tuple[str, str, str, str]:
     return parts[1].lower(), parts[2].lower(), parts[3].lower(), parts[4].lower()
 
 
+def _skip_comments(f) -> str:
+    """Next non-comment, non-blank line; EOF raises instead of spinning
+    (readline() returns '' forever at EOF — a truncated file must not
+    hang the loader)."""
+    line = f.readline()
+    while line and (line.startswith("%") or not line.strip()):
+        line = f.readline()
+    if not line:
+        raise MatrixMarketError("unexpected EOF before the size line")
+    return line
+
+
+def _array_stored_count(nrows: int, ncols: int, sym: str) -> int:
+    """Entries stored in an `array` body: full column-major for general,
+    lower triangle incl./excl. diagonal for symmetric/skew."""
+    if sym in ("symmetric", "hermitian"):
+        return sum(max(nrows - j, 0) for j in range(ncols))
+    if sym == "skew-symmetric":
+        return sum(max(nrows - j - 1, 0) for j in range(ncols))
+    return nrows * ncols
+
+
 def read_header(path: str) -> MatrixMarketHeader:
     with open(path, "r") as f:
         obj, fmt, field, sym = _parse_banner(f.readline())
-        line = f.readline()
-        while line.startswith("%") or not line.strip():
-            line = f.readline()
-        dims = line.split()
+        dims = _skip_comments(f).split()
     if fmt == "coordinate":
         nrows, ncols, nnz = int(dims[0]), int(dims[1]), int(dims[2])
     else:
         nrows, ncols = int(dims[0]), int(dims[1])
-        nnz = nrows * ncols
+        nnz = _array_stored_count(nrows, ncols, sym)
     return MatrixMarketHeader(obj, fmt, field, sym, nrows, ncols, nnz)
 
 
@@ -95,10 +114,7 @@ def read_mtx(path_or_file) -> Tuple[MatrixMarketHeader, np.ndarray, np.ndarray, 
             # the MM spec forbids pattern+array (mmio.h:137 valid-typecode
             # table); the reference's mm_read_banner rejects it too
             raise MatrixMarketError("array format cannot be 'pattern'")
-        line = f.readline()
-        while line.startswith("%") or not line.strip():
-            line = f.readline()
-        dims = line.split()
+        dims = _skip_comments(f).split()
         if fmt == "coordinate":
             nrows, ncols, nnz = int(dims[0]), int(dims[1]), int(dims[2])
         else:
@@ -286,9 +302,13 @@ def write_mtx(path, csr, field: str = "real", comment: str | None = None,
             for line in comment.splitlines():
                 f.write(f"%{line}\n")
         f.write(f"{sp.shape[0]} {sp.shape[1]} {len(rows)}\n")
+        # vectorized body (a per-entry Python write loop is interpreter
+        # speed — minutes at 50M nnz; the read path is numpy for the
+        # same reason)
         if field == "pattern":
-            for i, j in zip(rows + 1, cols + 1):
-                f.write(f"{i} {j}\n")
+            body = np.stack([rows + 1, cols + 1], axis=1)
+            np.savetxt(f, body, fmt="%d %d")
         else:
-            for i, j, v in zip(rows + 1, cols + 1, data):
-                f.write(f"{i} {j} {v:.17g}\n")
+            ij = np.stack([rows + 1, cols + 1], axis=1).astype(np.float64)
+            np.savetxt(f, np.concatenate([ij, data[:, None]], axis=1),
+                       fmt="%d %d %.17g")

@@ -79,12 +79,16 @@ def gen_powerlaw(m: int, mean_nnz: int = 8, alpha: float = 1.5,
 
 
 def gen_blockdiag(m: int, block: int = 32, seed: int = 0) -> sp.csr_matrix:
-    rng = np.random.default_rng(seed)
-    nb = max(m // block, 1)
-    blocks = [sp.random(block, block, density=0.4,
+    # a remainder block keeps the result exactly (m, m) — m // block
+    # blocks alone silently shrank non-multiples (gen_blockdiag(100)
+    # returned 96x96)
+    sizes = [block] * (m // block)
+    if m % block:
+        sizes.append(m % block)
+    blocks = [sp.random(s, s, density=0.4,
                         random_state=np.random.RandomState(seed + i),
-                        format="csr") for i in range(nb)]
-    return sp.block_diag(blocks, format="csr")[:m, :m].tocsr()
+                        format="csr") for i, s in enumerate(sizes)]
+    return sp.block_diag(blocks, format="csr").tocsr()
 
 
 GENERATORS = {

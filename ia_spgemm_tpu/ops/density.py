@@ -42,9 +42,24 @@ def _density_core(row_ptr, col_ind, nnz, *, m: int, n: int, size: int):
     col = jnp.clip(col_ind, 0, n - 1)
     valid = idx < nnz
 
-    # integer cell mapping (main.cpp:527-558): floor(old*128/dim)
-    i_s = (row.astype(idt) * size) // m
-    j_s = (col.astype(idt) * size) // n
+    # integer cell mapping (main.cpp:527-558): floor(old*128/dim).
+    # With x64 off, row * size wraps int32 past dim = 2^31/size
+    # (~16.7M rows at size 128) — there, bucket by exact host-built
+    # boundaries instead: floor(r*size/dim) == max i with
+    # ceil(i*dim/size) <= r.
+    i32_dim_max = (2**31 - 1) // size
+    if idt == jnp.int32 and max(m, n) > i32_dim_max:
+        import numpy as np
+        ar = np.arange(size + 1, dtype=np.int64)
+        bi = ((ar * m + size - 1) // size).astype(np.int32)
+        bj = ((ar * n + size - 1) // size).astype(np.int32)
+        i_s = (jnp.searchsorted(jnp.asarray(bi), row, side="right")
+               - 1).astype(idt)
+        j_s = (jnp.searchsorted(jnp.asarray(bj), col, side="right")
+               - 1).astype(idt)
+    else:
+        i_s = (row.astype(idt) * size) // m
+        j_s = (col.astype(idt) * size) // n
 
     si = _splat(m, size)
     sj = _splat(n, size)

@@ -32,7 +32,9 @@ def _info1(row_ptr, nnz, ncols: int):
     minr = jnp.min(nnz_row)
     # Reference divides by (row - 1) — sample variance (csr/common_csr.h:281).
     var = jnp.sum((nnz_row - mean) ** 2) / jnp.maximum(m - 1, 1)
-    cv = jnp.sqrt(var) / mean
+    # empty matrix: mean = 0 would make cv NaN, and ONE NaN feature
+    # poisons a whole harvest checkpoint (load_samples refuses it)
+    cv = jnp.where(mean > 0, jnp.sqrt(var) / mean, 0.0)
     # density denominator in FLOAT: ncols is a traced int32 here, so an
     # integer m * ncols wraps at m = n = 65536 (2^32 -> 0 -> inf density;
     # poisoned a harvest checkpoint before being caught)
@@ -66,36 +68,59 @@ def get_info3(A: ELL) -> jax.Array:
     return jnp.asarray([A.nnz.astype(dt) / (float(m) * max(int(K), 1))])
 
 
+def _info2_from_scalars(m: int, n: int, nd: int, dt) -> jax.Array:
+    return jnp.asarray(
+        [float(nd), nd / (m + n - 1), (nd * float(m)) / (float(m) * n)],
+        dtype=dt)
+
+
+def _info3_from_scalars(m: int, K: int, nnz, dt) -> jax.Array:
+    return jnp.asarray([jnp.asarray(nnz, dt)
+                        / (float(max(m, 1)) * max(int(K), 1))])
+
+
 def feature_vector(A: CSR, B: CSR,
                    A_dia: DIA | None = None, B_dia: DIA | None = None,
                    A_ell: ELL | None = None, B_ell: ELL | None = None
                    ) -> jax.Array:
     """The CPU driver's 26-feature MatNet input (main.cpp:651-679).
 
-    When a format was rejected by its viability guard, the corresponding
+    When a format is rejected by its viability guard, the corresponding
     slots stay 0 — matching the reference, which pre-zeroes features[]
     (main.cpp:652-653) and skips nothing explicitly but computes on
     unallocated structs; zeros are the only sane reading.
+
+    The DIA/ELL features need only the PLANNER scalars (num_diagonals,
+    K): callers that haven't already converted get them from
+    plan_dia_offsets/plan_ell_width instead of materializing dense
+    (m, ndiag)/(m, K) value arrays the guard allows to reach 50x the
+    CSR's bytes, only to read one integer back.
     """
     from ia_spgemm_tpu.formats import convert
-
-    if A_dia is None:
-        A_dia = convert.csr_to_dia(A)
-    if B_dia is None:
-        B_dia = convert.csr_to_dia(B)
-    if A_ell is None:
-        A_ell = convert.csr_to_ell(A)
-    if B_ell is None:
-        B_ell = convert.csr_to_ell(B)
 
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     z3 = jnp.zeros(3, dt)
     z1 = jnp.zeros(1, dt)
+
+    def info2(M, M_dia):
+        if M_dia is not None:
+            return get_info2(M_dia)
+        nd = len(convert.plan_dia_offsets(M))
+        if not convert.dia_viable(M.nrows, M.ncols, int(M.nnz), nd):
+            return z3
+        return _info2_from_scalars(M.nrows, M.ncols, nd, dt)
+
+    def info3(M, M_ell):
+        if M_ell is not None:
+            return get_info3(M_ell)
+        K = convert.plan_ell_width(M)
+        if not convert.ell_viable(M.nrows, int(M.nnz), K):
+            return z1
+        return _info3_from_scalars(M.nrows, K, M.nnz, dt)
+
     parts = [
         get_info1(A), get_info1(B),
-        get_info2(A_dia) if A_dia is not None else z3,
-        get_info2(B_dia) if B_dia is not None else z3,
-        get_info3(A_ell) if A_ell is not None else z1,
-        get_info3(B_ell) if B_ell is not None else z1,
+        info2(A, A_dia), info2(B, B_dia),
+        info3(A, A_ell), info3(B, B_ell),
     ]
     return jnp.concatenate([p.astype(dt) for p in parts])

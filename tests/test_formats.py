@@ -127,3 +127,40 @@ def test_bcsr_to_csr_roundtrip():
     assert np.array_equal(np.asarray(C.row_ptr),
                           np.concatenate([[0], np.cumsum(
                               np.asarray(Cb.nnz_row))]))
+
+
+def test_csr_to_ell_rejects_truncating_width():
+    """An explicit width below the longest row used to scatter overflow
+    entries into the NEXT row's slots — must raise."""
+    a = fixtures.random_csr(12, 12, density=0.5, seed=80)
+    A = CSR.from_scipy(a)
+    with pytest.raises(ValueError, match="cannot truncate"):
+        convert.csr_to_ell(A, width=1, check_guard=False)
+
+
+def test_csr_to_dia_drops_unlisted_diagonals():
+    """Caller-supplied offsets that omit an occupied diagonal must DROP
+    those entries, not overwrite slot 0 (the first listed diagonal)."""
+    import scipy.sparse as sp
+    d = sp.diags([[1.0, 2.0, 3.0], [7.0, 8.0]], [0, 1],
+                 shape=(3, 3)).tocsr()
+    A = CSR.from_scipy(d)
+    D = convert.csr_to_dia(A, offsets=np.array([0]), check_guard=False)
+    got = np.asarray(D.values)[:, 0]
+    np.testing.assert_allclose(got, [1.0, 2.0, 3.0])  # main diag intact
+
+
+def test_gen_blockdiag_exact_size():
+    from ia_spgemm_tpu.io import suitesparse
+    assert suitesparse.gen_blockdiag(100).shape == (100, 100)
+    assert suitesparse.gen_blockdiag(33).shape == (33, 33)
+    assert suitesparse.gen_blockdiag(32).shape == (32, 32)
+
+
+def test_features_finite_on_empty_matrix():
+    import scipy.sparse as sp
+
+    from ia_spgemm_tpu.ops import features
+    A = CSR.from_scipy(sp.csr_matrix((8, 8)))
+    fv = np.asarray(features.feature_vector(A, A))
+    assert np.isfinite(fv).all()

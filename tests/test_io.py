@@ -154,3 +154,26 @@ def test_write_symmetric_rejects_asymmetric(tmp_path):
     with pytest.raises(mmio.MatrixMarketError, match="not skew"):
         mmio.write_mtx(str(tmp_path / "y.mtx"), CSR.from_scipy(a),
                        symmetry="skew-symmetric")
+
+
+def test_truncated_mtx_raises_not_hangs(tmp_path):
+    """EOF during comment skipping must raise (readline() returns ''
+    forever at EOF — this used to spin)."""
+    p = tmp_path / "trunc.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n%hm\n")
+    with pytest.raises(mmio.MatrixMarketError, match="EOF"):
+        mmio.read_header(str(p))
+    with pytest.raises(mmio.MatrixMarketError, match="EOF"):
+        mmio.read_mtx(str(p))
+
+
+def test_array_header_counts_stored_triangle(tmp_path):
+    """read_header's nnz_stored must agree with what read_mtx returns for
+    symmetric array files (the stored triangle, not nrows*ncols)."""
+    low = np.tril(np.arange(1.0, 10.0).reshape(3, 3))
+    d = low + low.T - np.diag(np.diag(low))
+    p = tmp_path / "symarr.mtx"
+    scipy.io.mmwrite(str(p), d, symmetry="symmetric")
+    h = mmio.read_header(str(p))
+    _, r, _, _ = mmio.read_mtx(str(p))
+    assert h.nnz_stored == len(r) == 6
