@@ -148,9 +148,21 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
         except ValueError:
             algo = "csr"
     if algo == "dense_row":
+        from ia_spgemm_tpu import config as _cfg
         from ia_spgemm_tpu.ops import dense_row as dr_ops
-        Ae = convert.csr_to_ell(A, check_guard=False)
-        if B.ncols <= dr_ops.MAX_N_F32 and Ae is not None:
+        # the same viability gates the harness applies (harness.py
+        # dense_row branch): B + C densify (HBM budget), the VMEM row
+        # budget is f32-sized (halve the cap for 8-byte values), and A
+        # must be ELL-viable — a mispredicted pick falls back to csr
+        # instead of OOMing
+        vb = np.dtype(A.values.dtype).itemsize
+        dense_elems = B.nrows * B.ncols + A.nrows * B.ncols
+        ka = convert.plan_ell_width(A)
+        if (B.ncols * max(vb // 4, 1) <= dr_ops.MAX_N_F32
+                and dense_elems * vb
+                <= _cfg.DEFAULT_CONFIG.dense_bytes_budget
+                and convert.ell_viable(A.nrows, int(A.nnz), ka)):
+            Ae = convert.csr_to_ell(A, width=ka, check_guard=False)
             C = dr_ops.spgemm_dense_row(Ae, convert.csr_to_dense(B))
             return convert.dense_to_csr(C), sel
         algo = "csr"

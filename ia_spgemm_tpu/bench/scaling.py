@@ -190,6 +190,14 @@ def main():
             except (OSError, ValueError) as e:
                 rep["d1_import_error"] = f"{type(e).__name__}: {e}"
                 d1 = None
+            else:
+                if not d1:
+                    # file parsed but carries no real-chip point (e.g.
+                    # the measurement pass silently fell back to CPU) —
+                    # mark it so the missing headline is visible
+                    rep["d1_import_error"] = (
+                        f"{sys.argv[i + 1]} has no d1_real_chip entry "
+                        "(measurement pass did not run on the chip)")
             if d1:
                 rep["d1_real_chip"] = d1
                 rep["model_v5e_ici_from_d1"] = model_ring_efficiency(

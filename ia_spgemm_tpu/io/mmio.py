@@ -290,7 +290,11 @@ def write_mtx(path, csr, field: str = "real", comment: str | None = None,
         diff = (m + mt) if symmetry == "skew-symmetric" else (m - mt)
         scale = max(1.0, float(abs(m).max() if m.nnz else 0.0))
         err = float(abs(diff).max()) / scale if diff.nnz else 0.0
-        if err > 1e-12:
+        # dtype-aware: f32 results (e.g. A @ A^T with different summation
+        # orders per triangle) are symmetric only to ~eps(f32)
+        tol = 64 * float(np.finfo(data.dtype).eps) \
+            if np.issubdtype(data.dtype, np.floating) else 1e-12
+        if err > tol:
             raise MatrixMarketError(
                 f"matrix is not {symmetry} (max asymmetry {err:.3g}); "
                 "writing it with this typecode would corrupt it")

@@ -108,7 +108,10 @@ def feature_vector(A: CSR, B: CSR,
         nd = len(convert.plan_dia_offsets(M))
         if not convert.dia_viable(M.nrows, M.ncols, int(M.nnz), nd):
             return z3
-        return _info2_from_scalars(M.nrows, M.ncols, nd, dt)
+        # csr_to_dia coerces zero occupied diagonals to one empty slot
+        # AFTER its guard — mirror it, or the scalar path would emit
+        # [0,0,0] where the materializing path emits get_info2(nd=1)
+        return _info2_from_scalars(M.nrows, M.ncols, max(nd, 1), dt)
 
     def info3(M, M_ell):
         if M_ell is not None:

@@ -36,18 +36,16 @@ def initialize(coordinator_address: str | None = None,
     """
     import jax
 
+    if jax.distributed.is_initialized():  # idempotent: keep the live service
+        return
     if coordinator_address is None:
         coordinator_address = os.environ.get("IA_SPGEMM_COORDINATOR")
     if num_processes is None and "IA_SPGEMM_NUM_PROCS" in os.environ:
         num_processes = int(os.environ["IA_SPGEMM_NUM_PROCS"])
     if process_id is None and "IA_SPGEMM_PROC_ID" in os.environ:
         process_id = int(os.environ["IA_SPGEMM_PROC_ID"])
-    try:
-        jax.distributed.initialize(coordinator_address, num_processes,
-                                   process_id)
-    except RuntimeError as e:  # already initialized — keep it
-        if "already" not in str(e).lower():
-            raise
+    jax.distributed.initialize(coordinator_address, num_processes,
+                               process_id)
 
 
 class LocalCsrBlock(NamedTuple):

@@ -46,8 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 # device sort (esc), SMEM hash probing (hash), diagonal algebra (dia),
 # dense-row MXU accumulation (dense_row).
 MENU = ("bitonic", "esc", "hash", "dia", "dense_row")
-# Prior (round-2) menu, kept for loading the old checkpoint/weights.
-MENU_V1 = ("csr", "dia", "ell", "coo", "bitonic")
+# (The prior round-2 menu lives where it's read back:
+# retrain_from_checkpoint.MENU_V1 — this script never loads v1 data.)
 
 
 def corpus(quick: bool):

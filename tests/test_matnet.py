@@ -174,3 +174,30 @@ def test_spgemm_auto_dispatches_strategy_menu(monkeypatch):
         assert sel.algorithm == algo
         got = C.to_scipy().toarray()
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_auto_dense_row_guard_falls_back(monkeypatch):
+    """A mispredicted dense_row pick on a matrix whose densified B + C
+    exceed the HBM budget must fall back to the csr route (not OOM)."""
+    import dataclasses
+
+    import numpy as np
+
+    from ia_spgemm_tpu import autotune, config as cfg
+    from ia_spgemm_tpu.formats.types import CSR
+    from tests import fixtures
+
+    a = fixtures.banded_csr(48, bandwidth=2, seed=9).astype(np.float32)
+    A = CSR.from_scipy(a)
+    want = (a @ a).toarray()
+    monkeypatch.setattr(
+        autotune, "select_algorithm",
+        lambda *args, **kw: autotune.AutotuneResult(
+            algorithm="dense_row", class_index=0, logits=None,
+            feature_vector=None))
+    monkeypatch.setattr(
+        cfg, "DEFAULT_CONFIG",
+        dataclasses.replace(cfg.DEFAULT_CONFIG, dense_bytes_budget=64.0))
+    C, sel = autotune.spgemm_auto(A, A)
+    got = C.to_scipy().toarray()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -30,8 +30,12 @@ def _child_env():
 
 
 def test_two_process_dist_and_ring(tmp_path):
-    # deterministic-ish free port; coordination service binds it in child 0
-    port = 24000 + (os.getpid() % 2000)
+    # a port the OS says is free right now (child 0 binds it moments
+    # later; pid-hash ports collided with leaked coordinators)
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     env = _child_env()
     procs = [
         subprocess.Popen(
