@@ -52,7 +52,26 @@ def _observed_out_width(nnz_row, cap):
     return min(out_w, cap)
 
 
+def _apply_bench_tuning():
+    """Adopt the queue's A/B pick (scripts/pick_bench_tuning.py) as the
+    fused-width default. Must run before ops.bitonic is imported (the env
+    var is read at module import); an explicit env var wins."""
+    if os.environ.get("IA_SPGEMM_FUSED_MAX_WIDTH"):
+        return None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "reports", "bench_tuning.json")) as f:
+            tuning = json.load(f)
+        os.environ["IA_SPGEMM_FUSED_MAX_WIDTH"] = str(
+            int(tuning["fused_max_width"]))
+        return tuning
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def main():
+    tuning = _apply_bench_tuning()
+
     import jax
 
     from ia_spgemm_tpu.bench import profiling, roofline
@@ -177,6 +196,8 @@ def main():
                            "device_ms": round(v["device_ms"], 3)}
                        for k, v in routes.items()},
             "device": str(jax.devices()[0]),
+            "fused_max_width": bitonic.FUSED_MAX_WIDTH,
+            "tuned_from": tuning.get("source") if tuning else None,
             "roofline": roof,
             "roofline_device": roof_dev,
         },

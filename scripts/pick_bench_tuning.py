@@ -1,0 +1,60 @@
+"""Distill the headline A/B artifacts into reports/bench_tuning.json.
+
+Reads every reports/headline_routes_w*.json (written by
+scripts/x_headline_routes.py under each IA_SPGEMM_FUSED_MAX_WIDTH the
+queue tried) and records the fused width whose best checksum-clean
+compacted route ran fastest. bench.py applies the pick as the
+IA_SPGEMM_FUSED_MAX_WIDTH default on its next run, so the driver's
+round-end capture benefits from the A/B without re-running it.
+
+Pure host JSON work — safe to run without the chip (no-op if no
+artifacts exist).
+"""
+
+import glob
+import json
+import os
+import sys
+
+# flat_sparse skips compaction — a secondary metric, never the headline
+_CANDIDATE_ROUTES = ("flat", "mc_bcsr", "mc_ell", "esc")
+_REL_ERR_MAX = 1e-5
+
+
+def pick(paths):
+    best = None
+    for p in sorted(paths):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"skip {p}: {e}", file=sys.stderr)
+            continue
+        for r in d.get("results", ()):
+            if r.get("route") not in _CANDIDATE_ROUTES:
+                continue
+            if not r.get("device_ms") or r["device_ms"] <= 0:
+                continue
+            if r.get("rel_err", 1.0) > _REL_ERR_MAX:
+                continue
+            cand = {"fused_max_width": d.get("fused_max_width"),
+                    "route": r["route"], "device_ms": r["device_ms"],
+                    "source": os.path.basename(p)}
+            if best is None or cand["device_ms"] < best["device_ms"]:
+                best = cand
+    return best
+
+
+def main():
+    paths = glob.glob("reports/headline_routes_w*.json")
+    best = pick(paths)
+    if best is None:
+        print("no headline route artifacts — nothing to tune")
+        return
+    with open("reports/bench_tuning.json", "w") as f:
+        json.dump(best, f, indent=1)
+    print(json.dumps(best))
+
+
+if __name__ == "__main__":
+    main()

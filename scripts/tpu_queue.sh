@@ -41,6 +41,13 @@ TMO=1800 IA_SPGEMM_FUSED_MAX_WIDTH=512 run headline_routes_fused512 \
 TMO=1800 IA_SPGEMM_FUSED_MAX_WIDTH=1024 run headline_routes_fused1024 \
   python scripts/x_headline_routes.py
 
+# 2c. distill the A/Bs into the bench.py fused-width default (host-only)
+TMO=120 run pick_tuning python scripts/pick_bench_tuning.py
+
+# 2d. re-capture the bench line under the tuned default (the step-1 run
+# predates the pick; keep the faster of the two captures on record)
+TMO=2700 IA_SPGEMM_BENCH_NO_SUPERVISE=1 run bench_tuned python bench.py
+
 # 3. acceptance: refreshes reports/fixture_sweeps.json + headline_rooflines.json
 TMO=3600 run acceptance python scripts/acceptance.py
 

@@ -13,6 +13,7 @@ whether bench.py's headline flips to the multiclass route.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -33,6 +34,7 @@ def main():
     A = CSR.from_scipy(a.astype(np.float32))
     ref_sum = float((a @ a).sum())
     A_ell = convert.csr_to_ell(A, check_guard=False)
+    results = []
 
     def report(name, run, plan_s=None):
         t0 = time.perf_counter()
@@ -40,11 +42,12 @@ def main():
         first_ms = (time.perf_counter() - t0) * 1e3
         dev = profiling.device_time_ms(run, chain=8)["device_ms"]
         rel = abs(float(C.checksum()) - ref_sum) / max(1.0, abs(ref_sum))
-        print(json.dumps({
+        results.append({
             "route": name, "device_ms": round(dev, 3),
             "first_ms": round(first_ms, 1),
             "plan_s": round(plan_s, 2) if plan_s is not None else None,
-            "nnz": int(C.nnz), "rel_err": rel}), flush=True)
+            "nnz": int(C.nnz), "rel_err": rel})
+        print(json.dumps(results[-1]), flush=True)
 
     # flat bitonic with steady-state out_width (bench.py's current route)
     bt_plan = bitonic.plan_bitonic(A_ell, A_ell)
@@ -76,6 +79,15 @@ def main():
 
     esc_plan = esc.plan_spgemm(A, A)
     report("esc", lambda: esc.spgemm_csr(A, A, esc_plan))
+
+    # persist per-fused-width so scripts/pick_bench_tuning.py can distill
+    # the winning (route, fused width) into reports/bench_tuning.json
+    os.makedirs("reports", exist_ok=True)
+    out = f"reports/headline_routes_w{bitonic.FUSED_MAX_WIDTH}.json"
+    with open(out, "w") as f:
+        json.dump({"fused_max_width": bitonic.FUSED_MAX_WIDTH,
+                   "results": results}, f, indent=1)
+    print(f"wrote {out}", flush=True)
 
 
 if __name__ == "__main__":

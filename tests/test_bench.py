@@ -70,3 +70,48 @@ def test_bench_supervisor_forwards_worker_json(capsys, monkeypatch):
     assert rc == 0
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["vs_baseline"] == 2.0
+
+
+def test_pick_bench_tuning(tmp_path, monkeypatch):
+    """The distiller must ignore sparse-mode and checksum-dirty rows and
+    pick the fastest clean compacted route across fused-width artifacts."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts"))
+    import pick_bench_tuning as pbt
+
+    a = tmp_path / "headline_routes_w256.json"
+    b = tmp_path / "headline_routes_w512.json"
+    a.write_text(json.dumps({"fused_max_width": 256, "results": [
+        {"route": "flat", "device_ms": 9.2, "rel_err": 1e-7},
+        {"route": "flat_sparse", "device_ms": 5.0, "rel_err": 1e-7},
+    ]}))
+    b.write_text(json.dumps({"fused_max_width": 512, "results": [
+        {"route": "mc_bcsr", "device_ms": 6.1, "rel_err": 1e-7},
+        {"route": "flat", "device_ms": 4.0, "rel_err": 2e-3},
+    ]}))
+    best = pbt.pick([str(a), str(b)])
+    assert best["fused_max_width"] == 512 and best["route"] == "mc_bcsr"
+    assert pbt.pick([]) is None
+
+
+def test_bench_applies_tuning_artifact(tmp_path, monkeypatch):
+    """bench.main must adopt reports/bench_tuning.json as the fused-width
+    env default (before ops.bitonic import) unless the user already set it."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    rep = tmp_path / "reports"
+    rep.mkdir()
+    (rep / "bench_tuning.json").write_text(json.dumps(
+        {"fused_max_width": 512, "route": "mc_bcsr", "device_ms": 6.1,
+         "source": "headline_routes_w512.json"}))
+    monkeypatch.delenv("IA_SPGEMM_FUSED_MAX_WIDTH", raising=False)
+    monkeypatch.setattr(bench.os.path, "dirname",
+                        lambda p: str(tmp_path))
+    t = bench._apply_bench_tuning()
+    assert t["fused_max_width"] == 512
+    assert os.environ["IA_SPGEMM_FUSED_MAX_WIDTH"] == "512"
+    # explicit env wins
+    monkeypatch.setenv("IA_SPGEMM_FUSED_MAX_WIDTH", "256")
+    assert bench._apply_bench_tuning() is None
