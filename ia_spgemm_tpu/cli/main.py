@@ -36,7 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="autotune | all | baseline|csr|esc|coo|ell|dia|"
                         "dense|bitonic|dense_row|compensated|hash "
                         "(csr auto-routes tiled-when-viable; esc forces "
-                        "the global-sort engine)")
+                        "the global-sort engine) | dist|ring (row-sharded "
+                        "over the device mesh: all-gathered-B / ppermute "
+                        "ring; see --shards)")
+    p.add_argument("--shards", type=int, default=None,
+                   help="mesh size for --mode dist/ring (default: every "
+                        "visible device)")
     p.add_argument("--weights", default="Intel",
                    help="MatNet weight set (Intel|Amd|P100 reference sets, "
                         "TPU = the selector retrained on measured TPU "
@@ -80,6 +85,83 @@ def enable_compilation_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def _run_distributed(A, B, args) -> int:
+    """--mode dist/ring: C = A @ B row-sharded over a 1-D device mesh —
+    the scale-out capability the single-process reference lacks
+    (SURVEY.md §2.7). dist all-gathers B's row blocks; ring streams them
+    between neighbors with lax.ppermute. Multi-process meshes bootstrap
+    via parallel.multihost.initialize (IA_SPGEMM_COORDINATOR env)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from ia_spgemm_tpu.parallel import multihost
+    from ia_spgemm_tpu.parallel.mesh import make_mesh
+
+    if os.environ.get("IA_SPGEMM_COORDINATOR"):
+        multihost.initialize()
+    ndev = len(jax.devices())
+    D = args.shards or ndev
+    if D > ndev:
+        print(f"--shards {D} > {ndev} visible devices", file=sys.stderr)
+        return 2
+    mesh = make_mesh(D)
+    print(f"mesh: {D} device(s) [{jax.devices()[0].platform}], "
+          f"route={args.mode}, balance=flops")
+
+    if args.mode == "dist":
+        from ia_spgemm_tpu.parallel import distributed
+        e_cap, out_cap = distributed.plan_dist_spgemm(A, B, D,
+                                                      balance="flops")
+        As = distributed.partition_rows(A, D, balance="flops", B=B,
+                                        mesh=mesh)
+        Bs = distributed.partition_rows(B, D, mesh=mesh)
+
+        def run():
+            return distributed.dist_spgemm(As, Bs, mesh,
+                                           e_cap=e_cap, out_cap=out_cap)
+
+        Cs = jax.block_until_ready(run())
+        C = multihost.replicate_to_hosts(Cs)
+    else:
+        from ia_spgemm_tpu.formats import convert
+        from ia_spgemm_tpu.parallel import ring
+        A_ell = convert.csr_to_ell(A, check_guard=False)
+        B_ell = convert.csr_to_ell(B, check_guard=False)
+        plan = ring.plan_ring(A_ell, B_ell, D)
+        As = ring.partition_rows_ell(A_ell, D, mesh=mesh)
+        Bs = ring.partition_rows_ell(B_ell, D, mesh=mesh)
+
+        def run():
+            return ring.ring_spgemm(As, Bs, mesh, plan)
+
+        Ce = jax.block_until_ready(run())
+        C = convert.ell_to_csr(ring.gather_result_ell(Ce))
+
+    times = []
+    for _ in range(max(args.iters, 1)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append((time.perf_counter() - t0) * 1e3)
+    wall = float(np.median(times))
+
+    c_ref = A.to_scipy() @ B.to_scipy()
+    rel = abs(float(C.checksum()) - float(c_ref.sum())) \
+        / max(1.0, abs(float(c_ref.sum())))
+    status = "ok" if rel < 1e-4 else f"CHECKSUM MISMATCH ({rel:.3g})"
+    print(f"C: {C.nrows}x{C.ncols} nnz={int(C.nnz)} "
+          f"verified_sum={float(C.checksum()):.10g} [{status}]")
+    print(f"run_time(ms): {wall:.3f}  ({D}-shard {args.mode})")
+    if args.json:
+        import json as _json
+        with open(args.json, "w") as f:
+            _json.dump({"mode": args.mode, "shards": D,
+                        "run_time_ms": wall, "nnz_out": int(C.nnz),
+                        "checksum_rel_err": rel}, f, indent=1)
+    return 0 if rel < 1e-4 else 3
 
 
 def main(argv=None) -> int:
@@ -142,6 +224,9 @@ def main(argv=None) -> int:
             print(f"MatNet prediction: class {sel.class_index} -> {pick}")
         except FileNotFoundError:
             print("MatNet weights not found; skipping prediction")
+
+    if args.mode in ("dist", "ring"):
+        return _run_distributed(A, B, args)
 
     if args.mode == "autotune":
         C, sel = autotune.spgemm_auto(A, B, weight_name=args.weights)

@@ -15,6 +15,8 @@ csr/common_csr.h:276).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Tuple
 
 import jax
@@ -173,26 +175,15 @@ def _assemble_global_csr(rp_blocks, col_blocks, val_blocks, nnz_blocks,
     return row_ptr, col[:-1], val[:-1], shard_off[-1]
 
 
-def dist_spgemm(A: ShardedCSR, B, mesh: Mesh,
-                *, e_cap: int, out_cap: int,
-                b_sharded: bool = None) -> ShardedCSR:
-    """C = A @ B with A, C row-sharded over `mesh`.
-
-    B may be a replicated CSR (no communication — pure data parallelism) or
-    a ShardedCSR (one all_gather over the mesh axis reassembles it on every
-    chip before the local ESC kernel).
-
-    e_cap/out_cap are per-shard static capacities (use plan_dist_spgemm).
-    """
+@functools.lru_cache(maxsize=64)
+def _dist_fn(mesh: Mesh, e_cap: int, out_cap: int, m_loc: int,
+             k: int, n: int, b_sharded: bool):
+    """Build + jit the sharded program once per (mesh, capacities) —
+    rebuilding shard_map per call retraces and recompiles every time
+    (same pattern as ring._ring_fn)."""
     from jax import shard_map
 
     axis = mesh.axis_names[0]
-    m, k = A.shape
-    if b_sharded is None:
-        b_sharded = isinstance(B, ShardedCSR)
-    n = B.shape[1]
-    m_loc = A.rows_per_shard
-
     if not b_sharded:
         def local_fn(a_rp, a_col, a_val, a_nnz,
                      b_rp, b_col, b_val):
@@ -204,41 +195,64 @@ def dist_spgemm(A: ShardedCSR, B, mesh: Mesh,
                 e_cap=e_cap, out_cap=out_cap, m=m_loc, k=k, n=n)
             return (rp[None], col[None], val[None], nnz[None])
 
-        fn = shard_map(
+        return jax.jit(shard_map(
             local_fn, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
             out_specs=(P(axis), P(axis), P(axis), P(axis)),
-            check_vma=False)
+            check_vma=False))
+
+    def local_fn(a_rp, a_col, a_val, a_nnz,
+                 b_rp, b_col, b_val, b_nnz, b_rs):
+        a_rp, a_col, a_val = a_rp[0], a_col[0], a_val[0]
+        a_nnz = a_nnz[0]
+        # all_gather B's row blocks over ICI, reassemble global CSR
+        g_rp = jax.lax.all_gather(b_rp[0], axis)       # (D, k_loc+1)
+        g_col = jax.lax.all_gather(b_col[0], axis)
+        g_val = jax.lax.all_gather(b_val[0], axis)
+        g_nnz = jax.lax.all_gather(b_nnz[0], axis)
+        # scatter the blocks' REAL rows into global positions by each
+        # block's row_start — handles uneven splits (blocks pad tail
+        # rows) and flops-balanced partitions alike
+        g_rs = jax.lax.all_gather(b_rs[0], axis)       # (D, 1)
+        b_rp_g, b_col_g, b_val_g, _ = _assemble_global_csr(
+            g_rp, g_col, g_val, g_nnz, n_cols=n,
+            row_start=g_rs[:, 0], n_rows=k)
+        a_row = esc._entry_rows_from_row_ptr(a_rp, a_col.shape[0])
+        rp, col, val, nnz = esc._esc_core(
+            a_row, a_col, a_val, a_nnz, b_rp_g, b_col_g, b_val_g,
+            e_cap=e_cap, out_cap=out_cap, m=m_loc, k=k, n=n)
+        return (rp[None], col[None], val[None], nnz[None])
+
+    return jax.jit(shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis),) * 9,
+        out_specs=(P(axis),) * 4,
+        check_vma=False))
+
+
+def dist_spgemm(A: ShardedCSR, B, mesh: Mesh,
+                *, e_cap: int, out_cap: int,
+                b_sharded: bool = None) -> ShardedCSR:
+    """C = A @ B with A, C row-sharded over `mesh`.
+
+    B may be a replicated CSR (no communication — pure data parallelism) or
+    a ShardedCSR (one all_gather over the mesh axis reassembles it on every
+    chip before the local ESC kernel).
+
+    e_cap/out_cap are per-shard static capacities (use plan_dist_spgemm).
+    """
+    m, k = A.shape
+    if b_sharded is None:
+        b_sharded = isinstance(B, ShardedCSR)
+    n = B.shape[1]
+    m_loc = A.rows_per_shard
+
+    fn = _dist_fn(mesh, int(e_cap), int(out_cap), m_loc, k, n,
+                  bool(b_sharded))
+    if not b_sharded:
         rp, col, val, nnz = fn(A.row_ptr, A.col_ind, A.values, A.nnz,
                                B.row_ptr, B.col_ind, B.values)
     else:
-        def local_fn(a_rp, a_col, a_val, a_nnz,
-                     b_rp, b_col, b_val, b_nnz, b_rs):
-            a_rp, a_col, a_val = a_rp[0], a_col[0], a_val[0]
-            a_nnz = a_nnz[0]
-            # all_gather B's row blocks over ICI, reassemble global CSR
-            g_rp = jax.lax.all_gather(b_rp[0], axis)       # (D, k_loc+1)
-            g_col = jax.lax.all_gather(b_col[0], axis)
-            g_val = jax.lax.all_gather(b_val[0], axis)
-            g_nnz = jax.lax.all_gather(b_nnz[0], axis)
-            # scatter the blocks' REAL rows into global positions by each
-            # block's row_start — handles uneven splits (blocks pad tail
-            # rows) and flops-balanced partitions alike
-            g_rs = jax.lax.all_gather(b_rs[0], axis)       # (D, 1)
-            b_rp_g, b_col_g, b_val_g, _ = _assemble_global_csr(
-                g_rp, g_col, g_val, g_nnz, n_cols=n,
-                row_start=g_rs[:, 0], n_rows=k)
-            a_row = esc._entry_rows_from_row_ptr(a_rp, a_col.shape[0])
-            rp, col, val, nnz = esc._esc_core(
-                a_row, a_col, a_val, a_nnz, b_rp_g, b_col_g, b_val_g,
-                e_cap=e_cap, out_cap=out_cap, m=m_loc, k=k, n=n)
-            return (rp[None], col[None], val[None], nnz[None])
-
-        fn = shard_map(
-            local_fn, mesh=mesh,
-            in_specs=(P(axis),) * 9,
-            out_specs=(P(axis),) * 4,
-            check_vma=False)
         rp, col, val, nnz = fn(A.row_ptr, A.col_ind, A.values, A.nnz,
                                B.row_ptr, B.col_ind, B.values, B.nnz,
                                B.row_start[:, None])
