@@ -57,7 +57,10 @@ def headline_rooflines():
     from ia_spgemm_tpu.formats.types import CSR
     from ia_spgemm_tpu.ops import bitonic, dia as dia_ops, esc
 
-    a = build_matrix()
+    # IA_SPGEMM_BENCH_SMOKE=1: tiny shapes so every code path (incl. the
+    # skew entries and artifact writes) can be crash-checked on CPU
+    smoke = os.environ.get("IA_SPGEMM_BENCH_SMOKE") == "1"
+    a = build_matrix(m=256) if smoke else build_matrix()
     A = CSR.from_scipy(a.astype(np.float32))
     out = {}
 
@@ -125,9 +128,10 @@ def headline_rooflines():
 
     import scipy.sparse as sp
     rng = np.random.default_rng(3)
-    m_s = 32768
-    lens = np.where(rng.random(m_s) < 0.002, 400,
-                    rng.integers(8, 24, m_s))
+    m_s = 512 if smoke else 32768
+    lens = np.where(rng.random(m_s) < 0.002, 64 if smoke else 400,
+                    rng.integers(2, 6, m_s) if smoke
+                    else rng.integers(8, 24, m_s))
     rows = np.repeat(np.arange(m_s), lens)
     cols = rng.integers(0, m_s, rows.shape[0])
     a_skew = sp.coo_matrix(
@@ -136,7 +140,8 @@ def headline_rooflines():
     a_skew.sum_duplicates()
     A_skew = CSR.from_scipy(a_skew)
     A_skew_ell = convert.csr_to_ell(A_skew, check_guard=False)
-    assert not bitonic.plan_bitonic(A_skew_ell, A_skew_ell).viable
+    if not smoke:  # the tiny smoke skew can be flat-viable; that's fine
+        assert not bitonic.plan_bitonic(A_skew_ell, A_skew_ell).viable
     t0 = _time.perf_counter()
     call0 = bitonic.multiclass_planned(A_skew_ell, A_skew_ell)
     plan_s = _time.perf_counter() - t0
@@ -209,11 +214,13 @@ def main():
     from ia_spgemm_tpu.cli.main import enable_compilation_cache
     enable_compilation_cache()
     os.makedirs("reports", exist_ok=True)
+    # smoke runs must not overwrite the real chip artifacts
+    tag = "_smoke" if os.environ.get("IA_SPGEMM_BENCH_SMOKE") == "1" else ""
     sweeps = fixture_sweeps()
-    with open("reports/fixture_sweeps.json", "w") as f:
+    with open(f"reports/fixture_sweeps{tag}.json", "w") as f:
         json.dump(sweeps, f, indent=2)
     roofs = headline_rooflines()
-    with open("reports/headline_rooflines.json", "w") as f:
+    with open(f"reports/headline_rooflines{tag}.json", "w") as f:
         json.dump(roofs, f, indent=2)
     print(json.dumps({k: {"time_ms": v.get("time_ms", v.get("wall_ms")),
                           "pct_of_sol": v.get("pct_of_sol")}

@@ -30,7 +30,10 @@ def main():
     from ia_spgemm_tpu.ops import bitonic, esc
 
     enable_compilation_cache()
-    a = hb.build_matrix()
+    # IA_SPGEMM_BENCH_SMOKE=1: tiny build so the whole script (incl. the
+    # artifact write) can be crash-checked on the CPU backend
+    smoke = os.environ.get("IA_SPGEMM_BENCH_SMOKE") == "1"
+    a = hb.build_matrix(m=256) if smoke else hb.build_matrix()
     A = CSR.from_scipy(a.astype(np.float32))
     ref_sum = float((a @ a).sum())
     A_ell = convert.csr_to_ell(A, check_guard=False)
@@ -83,7 +86,8 @@ def main():
     # persist per-fused-width so scripts/pick_bench_tuning.py can distill
     # the winning (route, fused width) into reports/bench_tuning.json
     os.makedirs("reports", exist_ok=True)
-    out = f"reports/headline_routes_w{bitonic.FUSED_MAX_WIDTH}.json"
+    tag = "smoke_" if smoke else ""
+    out = f"reports/headline_routes_{tag}w{bitonic.FUSED_MAX_WIDTH}.json"
     with open(out, "w") as f:
         json.dump({"fused_max_width": bitonic.FUSED_MAX_WIDTH,
                    "results": results}, f, indent=1)
