@@ -65,4 +65,16 @@ TMO=14400 run harvest python scripts/upcycle_tpu.py
 # 6. retrain on the harvested checkpoint (CPU; safe to run any time)
 TMO=3600 run retrain python scripts/retrain_from_checkpoint.py
 
+# 7. persist the measurement artifacts even if no session is alive to
+#    commit them (retry around a possibly-busy index)
+for i in 1 2 3; do
+  git add reports weights 2>/dev/null
+  if git commit -m "TPU queue: round-3 on-chip measurement artifacts" \
+      >/dev/null 2>&1; then
+    echo "queue artifacts committed"
+    break
+  fi
+  sleep 30
+done
+
 echo "queue done — logs in $LOG"
