@@ -159,6 +159,7 @@ def main():
     # skips the compaction route — a secondary metric, the headline stays
     # the canonical compacted result
     sparse_device_ms = None
+    bf16_device_ms = None
     if "bitonic" in routes:
         def run_sparse():
             return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
@@ -167,6 +168,20 @@ def main():
         assert int(Cs.nnz) == int(routes["bitonic"]["C"].nnz)
         sparse_device_ms = profiling.device_time_ms(
             run_sparse, chain=8)["device_ms"]
+
+        # bf16 value lane (packed single-array sort) — opt-in serving
+        # mode, values to bf16 rounding; structure must match f32 exactly
+        try:
+            def run_bf16():
+                return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
+                                              out_width=out_w,
+                                              value_mode="bf16")
+            Cb = jax.block_until_ready(run_bf16())
+            assert int(Cb.nnz) == int(routes["bitonic"]["C"].nnz)
+            bf16_device_ms = profiling.device_time_ms(
+                run_bf16, chain=8)["device_ms"]
+        except (ValueError, AssertionError):
+            bf16_device_ms = None
 
     roof = roofline.analyze(ours_ms, best["cost"])
     roof_dev = roofline.analyze(device_ms, best["cost"]) \
@@ -187,6 +202,8 @@ def main():
             "device_ms": round(device_ms, 3),
             "sparse_mode_device_ms": round(sparse_device_ms, 3)
             if sparse_device_ms else None,
+            "bf16_mode_device_ms": round(bf16_device_ms, 3)
+            if bf16_device_ms else None,
             "device_gflops": round(2.0 * esc_plan.flops
                                    / (device_ms * 1e6), 4)
             if device_ms > 0 else None,

@@ -66,6 +66,15 @@ def main():
             A_ell, A_ell, bt_plan, out_width=out_w))
         report("flat_sparse", lambda: bitonic.spgemm_bitonic(
             A_ell, A_ell, bt_plan, compact=False))
+        # opt-in bf16 value lane (packed single-array sort): a secondary
+        # serving-mode metric — rel_err is ~1e-3, never the headline
+        try:
+            report("flat_bf16", lambda: bitonic.spgemm_bitonic(
+                A_ell, A_ell, bt_plan, out_width=out_w,
+                value_mode="bf16"))
+        except ValueError as e:
+            print(json.dumps({"route": "flat_bf16", "skipped": str(e)}),
+                  flush=True)
 
     t0 = time.perf_counter()
     call = bitonic.multiclass_planned(A_ell, A_ell, assemble="bcsr",

@@ -471,3 +471,65 @@ def test_multiclass_plan_cache_hit_and_eviction():
     del A, call1, call2, call3
     gc.collect()
     bitonic.clear_plan_cache()
+
+
+def test_bitonic_bf16_value_lane():
+    """value_mode='bf16' (packed single-array sort): same output
+    STRUCTURE as the f32 route (nnz, columns bit-identical) with values
+    within bf16 rounding of the oracle."""
+    import scipy.sparse as sp
+
+    rng = np.random.RandomState(5)
+    a = sp.random(192, 192, density=0.06, format="csr", dtype=np.float32,
+                  random_state=rng)
+    a.data[:] = rng.standard_normal(a.nnz).astype(np.float32)
+    A = CSR.from_scipy(a)
+    Ae = convert.csr_to_ell(A, check_guard=False)
+    plan = bitonic.plan_bitonic(Ae, Ae)
+    C32 = bitonic.spgemm_bitonic(Ae, Ae, plan)
+    C16 = bitonic.spgemm_bitonic(Ae, Ae, plan, value_mode="bf16")
+    want = (a @ a).toarray()
+    got = C16.to_scipy().toarray()
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 2e-2
+    assert int(C16.nnz) == int(C32.nnz)
+    assert np.array_equal(np.asarray(C16.col_ind), np.asarray(C32.col_ind))
+    assert np.array_equal(np.asarray(C16.nnz_row), np.asarray(C32.nnz_row))
+
+
+def test_bitonic_bf16_rejects_wide_columns():
+    """The packed key has a 15-bit column field — n > 32768 must raise,
+    not silently corrupt."""
+    import pytest as _pytest
+    import scipy.sparse as sp
+
+    a = sp.random(64, 64, density=0.1, format="csr", dtype=np.float32,
+                  random_state=np.random.RandomState(0))
+    A = CSR.from_scipy(a)
+    Ae = convert.csr_to_ell(A, check_guard=False)
+    from ia_spgemm_tpu.formats.types import ELL
+    import jax.numpy as jnp
+    wide_B = ELL(col_ind=Ae.col_ind, values=Ae.values, nnz_row=Ae.nnz_row,
+                 nnz=Ae.nnz, shape=(64, 40000))
+    plan = bitonic.plan_bitonic(Ae, wide_B)
+    with _pytest.raises(ValueError, match="15 bits"):
+        bitonic.spgemm_bitonic(Ae, wide_B, plan, value_mode="bf16")
+
+
+def test_bitonic_bf16_pack_roundtrip():
+    """_pack_colval/_unpack_colval: cols survive exactly; values to
+    bf16 rounding (incl. negatives and zero)."""
+    import jax.numpy as jnp
+
+    cols = jnp.asarray([0, 1, 17, 32767, 5], jnp.int32)
+    vals = jnp.asarray([0.0, 1.0, -3.25, 1e-20, -1e20], jnp.float32)
+    p = bitonic._pack_colval(cols, vals)
+    k, v = bitonic._unpack_colval(p)
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(cols))
+    want = np.asarray(vals, dtype=np.float32).astype("bfloat16" if hasattr(
+        np, "bfloat16") else np.float32)
+    got = np.asarray(v)
+    rel = np.abs(got - np.asarray(vals)) / np.maximum(
+        np.abs(np.asarray(vals)), 1e-30)
+    assert (rel < 2 ** -8).all() or np.allclose(got, np.asarray(vals),
+                                                rtol=2 ** -8, atol=0)
