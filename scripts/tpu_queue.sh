@@ -20,12 +20,22 @@ run() {
   return $rc
 }
 
-# 0. probe: is the chip reachable? (fast matmul; bail early if not)
-TMO=180 run probe python -c "
+# 0. probe: is the chip reachable?  A lingering claim from a recently
+# exited process can stall a fresh probe for minutes and self-expires in
+# ~10-20 min, so retry with waits instead of aborting on one timeout.
+probe_ok=0
+for attempt in 1 2 3 4 5 6; do
+  if TMO=300 run "probe$attempt" python -c "
 import jax, jax.numpy as jnp
 x = jnp.ones((256, 256))
-print(float((x @ x).sum()), jax.devices())" \
-  || { echo 'TPU unreachable — aborting queue'; exit 1; }
+print(float((x @ x).sum()), jax.devices())"; then
+    probe_ok=1
+    break
+  fi
+  echo "probe attempt $attempt failed — waiting 180s for the claim to expire"
+  sleep 180
+done
+[ "$probe_ok" = 1 ] || { echo 'TPU unreachable — aborting queue'; exit 1; }
 
 # 1. the driver's benchmark line (the round's proof-of-life number).
 # The probe above already verified the claim, so skip bench.py's own

@@ -14,9 +14,15 @@ whether bench.py's headline flips to the multiclass route.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# run as `python scripts/x_headline_routes.py`: sys.path[0] is scripts/,
+# so the repo root (bench.py, ia_spgemm_tpu) needs an explicit entry
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
