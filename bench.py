@@ -160,6 +160,7 @@ def main():
     # the canonical compacted result
     sparse_device_ms = None
     bf16_device_ms = None
+    bf16_sparse_device_ms = None
     if "bitonic" in routes:
         def run_sparse():
             return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
@@ -183,6 +184,20 @@ def main():
         except (ValueError, AssertionError):
             bf16_device_ms = None
 
+        # both serving-lane savings at once: packed single-array sort
+        # AND no compaction stages
+        try:
+            def run_bf16_sparse():
+                return bitonic.spgemm_bitonic(A_ell, A_ell, bt_plan,
+                                              value_mode="bf16",
+                                              compact=False)
+            Cbs = jax.block_until_ready(run_bf16_sparse())
+            assert int(Cbs.nnz) == int(routes["bitonic"]["C"].nnz)
+            bf16_sparse_device_ms = profiling.device_time_ms(
+                run_bf16_sparse, chain=8)["device_ms"]
+        except (ValueError, AssertionError):
+            bf16_sparse_device_ms = None
+
     roof = roofline.analyze(ours_ms, best["cost"])
     roof_dev = roofline.analyze(device_ms, best["cost"]) \
         if device_ms > 0 else None
@@ -204,6 +219,8 @@ def main():
             if sparse_device_ms else None,
             "bf16_mode_device_ms": round(bf16_device_ms, 3)
             if bf16_device_ms else None,
+            "bf16_sparse_mode_device_ms": round(bf16_sparse_device_ms, 3)
+            if bf16_sparse_device_ms else None,
             "device_gflops": round(2.0 * esc_plan.flops
                                    / (device_ms * 1e6), 4)
             if device_ms > 0 else None,

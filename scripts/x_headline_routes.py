@@ -81,6 +81,15 @@ def main():
         except ValueError as e:
             print(json.dumps({"route": "flat_bf16", "skipped": str(e)}),
                   flush=True)
+        # both savings at once: packed single-array sort AND no
+        # compaction stages — the floor for the serving lane
+        try:
+            report("flat_bf16_sparse", lambda: bitonic.spgemm_bitonic(
+                A_ell, A_ell, bt_plan, value_mode="bf16",
+                compact=False))
+        except ValueError as e:
+            print(json.dumps({"route": "flat_bf16_sparse",
+                              "skipped": str(e)}), flush=True)
 
     t0 = time.perf_counter()
     call = bitonic.multiclass_planned(A_ell, A_ell, assemble="bcsr",
