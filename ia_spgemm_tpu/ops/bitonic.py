@@ -1292,7 +1292,8 @@ def _frag_totals(len_live, row_ptr, run: int):
 
 def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
                     value_bytes: int = 4, a_col_h=None, b_len_h=None,
-                    a_col_dev=None, b_len_dev=None):
+                    a_col_dev=None, b_len_dev=None,
+                    layout: str | None = None):
     """Plan per-row width classes: each row's products pad to ITS OWN
     pow2 width (the reference's ELL kernel pays the global-K tax instead,
     ell/common_ell.h:117-133).
@@ -1305,11 +1306,17 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
       list — the layout that keeps B-skewed matrices (rare huge rows
       among short ones) viable.
 
+    layout: force 'chunked' or 'ragged' (None = cost model decides) —
+    the A/B hook for calibrating the model against the chip.
+
     Returns (MultiClassPlan, per-row width array)."""
+    if layout not in (None, "chunked", "ragged"):
+        raise ValueError(f"unknown layout {layout!r}")
     lens = np.asarray(row_lens, dtype=np.int64)
     full_run = max(1, _next_pow2(kb))
     use_dev = a_col_dev is not None and b_len_dev is not None
-    ragged_ok = use_dev or (a_col_h is not None and b_len_h is not None)
+    ragged_ok = (use_dev or (a_col_h is not None and b_len_h is not None)) \
+        and layout != "chunked"
     ce = (_compact_entries(a_col_h, b_len_h)
           if not use_dev and ragged_ok else None)
 
@@ -1328,7 +1335,8 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
                 False)
         if fallback is None or cand[0] < fallback[0]:
             fallback = cand
-        if feasible(W) and (best is None or cand[0] < best[0]):
+        if layout != "ragged" and feasible(W) and \
+                (best is None or cand[0] < best[0]):
             best = cand
         if ragged_ok:
             if use_dev:
@@ -1576,23 +1584,29 @@ def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
                        out_width: int | None = None,
                        interpret: bool | None = None,
                        assemble: str = "ell",
-                       plan_device: bool = True):
+                       plan_device: bool = False,
+                       layout: str | None = None):
     """Host-plan the width-class pipeline ONCE and return a zero-argument
-    callable that runs it. With plan_device (default) the host plans only
-    (m,)-sized class metadata; the nnz-sized fragment matrices build on
-    device inside the jitted pipeline. plan_device=False keeps the numpy
-    fragment build (the cross-check oracle). Returns None when not
-    viable."""
+    callable that runs it. plan_device=False (default) builds the ragged
+    fragment matrices with host numpy at plan time — the measured-fastest
+    steady state (the on-device _device_fragments build costs ~30 ms of
+    scatter-add PER CALL on the r3 headline, reports/mc_profile.json:
+    e2e 50.7 ms devplan vs 21.1 ms hostplan). plan_device=True moves the
+    build inside the jitted pipeline (one-shot CSR-input calls with no
+    plan reuse). layout forces the chunked/ragged decision (A/B hook).
+    Returns None when not viable."""
     return _multiclass_build(A, B, max_classes=max_classes,
                              out_width=out_width, interpret=interpret,
-                             assemble=assemble, plan_device=plan_device)
+                             assemble=assemble, plan_device=plan_device,
+                             layout=layout)
 
 
 def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
                               out_width: int | None = None,
                               interpret: bool | None = None,
                               assemble: str = "ell",
-                              plan_device: bool = True):
+                              plan_device: bool = False,
+                              layout: str | None = None):
     """C = A @ B with per-row width classes sharing ONE jitted dispatch.
 
     A single global width pads every row to the LONGEST row's products;
@@ -1614,7 +1628,8 @@ def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
     Returns None when not viable (caller falls back to ESC)."""
     call = _multiclass_build(A, B, max_classes=max_classes,
                              out_width=out_width, interpret=interpret,
-                             assemble=assemble, plan_device=plan_device)
+                             assemble=assemble, plan_device=plan_device,
+                             layout=layout)
     return call() if call is not None else None
 
 
@@ -1712,13 +1727,14 @@ def plan_cache_stats():
 
 def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
                       out_width: int | None, interpret: bool | None,
-                      assemble: str = "ell", plan_device: bool = True):
+                      assemble: str = "ell", plan_device: bool = False,
+                      layout: str | None = None):
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     anchors = (A.col_ind, A.values, A.nnz_row,
                B.col_ind, B.values, B.nnz_row)
     key = (tuple(id(x) for x in anchors), max_classes, out_width,
-           interpret, assemble, plan_device)
+           interpret, assemble, plan_device, layout)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
         _BUILD_CACHE_STATS["hits"] += 1
@@ -1726,7 +1742,8 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
     _BUILD_CACHE_STATS["misses"] += 1
     call = _multiclass_build_uncached(
         A, B, max_classes=max_classes, out_width=out_width,
-        interpret=interpret, assemble=assemble, plan_device=plan_device)
+        interpret=interpret, assemble=assemble, plan_device=plan_device,
+        layout=layout)
     if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
         _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
     # anchors stored alongside: a None call (inviable plan) closes over
@@ -1739,7 +1756,8 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
                                out_width: int | None,
                                interpret: bool | None,
                                assemble: str = "ell",
-                               plan_device: bool = True):
+                               plan_device: bool = False,
+                               layout: str | None = None):
     if assemble not in ("ell", "bcsr"):
         raise ValueError(f"unknown assemble mode {assemble!r}")
     if interpret is None:
@@ -1751,7 +1769,7 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
     plan, W = plan_multiclass(
         lens, B.max_nnz_per_row, max_classes=max_classes,
         a_col_dev=A.col_ind if f32 else None,
-        b_len_dev=B.nnz_row if f32 else None)
+        b_len_dev=B.nnz_row if f32 else None, layout=layout)
     # ragged planning needs only B's (m,) row lengths on the host; the
     # nnz-sized fragment matrices build on device (plan_device, default)
     # or via _host_fragments (the numpy cross-check oracle)

@@ -182,11 +182,13 @@ def profile_workload(name, a, out):
         res["stages"][str(int(w))] = st
     res["sum_stage_ms"] = round(total_stage_ms, 2)
 
-    # --- end-to-end both planning modes -------------------------------
-    for label, dev in (("e2e_dev", True), ("e2e_host", False)):
+    # --- end-to-end: plan modes + forced layouts ----------------------
+    for label, kw in (("e2e_dev", {"plan_device": True}),
+                      ("e2e_host", {"plan_device": False}),
+                      ("e2e_chunked", {"layout": "chunked"})):
         t0 = time.perf_counter()
         call = bitonic.multiclass_planned(A_ell, A_ell, assemble="bcsr",
-                                          plan_device=dev)
+                                          **kw)
         plan_s = time.perf_counter() - t0
         if call is None:
             res[label] = None

@@ -277,6 +277,29 @@ def test_multiclass_ragged_b_skew():
     _check(a, a, C)
 
 
+def test_multiclass_forced_layouts():
+    """layout= forces the chunked/ragged decision; both layouts must
+    agree with the oracle on the same input (the A/B hook the on-chip
+    cost-model calibration uses)."""
+    rng = np.random.default_rng(21)
+    a = sp.random(128, 128, density=0.06,
+                  random_state=np.random.RandomState(21), format="csr")
+    a.data[:] = rng.standard_normal(a.nnz)
+    A = _ell(a)
+    for layout in ("chunked", "ragged"):
+        C = bitonic.spgemm_bitonic_multiclass(A, A, layout=layout)
+        assert C is not None, layout
+        _check(a, a, C)
+    plan_c, _ = bitonic.plan_multiclass(
+        np.asarray(A.nnz_row), A.max_nnz_per_row,
+        a_col_dev=A.col_ind, b_len_dev=A.nnz_row, layout="chunked")
+    assert plan_c.viable and not plan_c.ragged
+    plan_r, _ = bitonic.plan_multiclass(
+        np.asarray(A.nnz_row), A.max_nnz_per_row,
+        a_col_dev=A.col_ind, b_len_dev=A.nnz_row, layout="ragged")
+    assert plan_r.viable and plan_r.ragged
+
+
 def test_bitonic_sparse_output_mode():
     """compact=False: survivors at sorted slots with -1 holes; nnz and
     values agree exactly with the compacted result."""
