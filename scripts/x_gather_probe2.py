@@ -99,6 +99,10 @@ def main():
       gb)
     t("g2d", lambda: table[M_c.T.reshape(-1)], gb)
     t("g2d_noT", lambda: table[M_c.reshape(-1)], gb)
+    MT = jax.block_until_ready(jnp.asarray(np.asarray(M_c).T.copy()))
+    t("g2d_preT", lambda: table[MT.reshape(-1)], gb)
+    t("g3d_preT", lambda: table[MT.reshape(-1)].reshape(F_c, n_pad,
+                                                        lanes), gb)
 
     # run=32 table: 128 useful lanes per row, F halves
     if run < 32:
