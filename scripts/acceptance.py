@@ -216,9 +216,10 @@ def main():
     os.makedirs("reports", exist_ok=True)
     # smoke runs must not overwrite the real chip artifacts
     tag = "_smoke" if os.environ.get("IA_SPGEMM_BENCH_SMOKE") == "1" else ""
-    sweeps = fixture_sweeps()
-    with open(f"reports/fixture_sweeps{tag}.json", "w") as f:
-        json.dump(sweeps, f, indent=2)
+    if "--rooflines-only" not in sys.argv:
+        sweeps = fixture_sweeps()
+        with open(f"reports/fixture_sweeps{tag}.json", "w") as f:
+            json.dump(sweeps, f, indent=2)
     roofs = headline_rooflines()
     with open(f"reports/headline_rooflines{tag}.json", "w") as f:
         json.dump(roofs, f, indent=2)
