@@ -1407,8 +1407,8 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
         if ragged and devplan:
             b_len_d, startp_d = rest[len(widths):len(widths) + 2]
         elif ragged:
-            mcs = rest[len(widths):2 * len(widths)]
-            ents = rest[2 * len(widths):3 * len(widths)]
+            mts = rest[len(widths):2 * len(widths)]
+            avts = rest[2 * len(widths):3 * len(widths)]
         kt = table.shape[0] - 1
         lanes = table.shape[1]
         for c, w in enumerate(widths):
@@ -1424,16 +1424,20 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                     M_c, E_c = _device_fragments(
                         a_col, b_len_d, startp_d, idx,
                         run=run, F_c=F_c, F_B=kt, m=m)
+                    av_c = jnp.take(a_val, idx, axis=0)
+                    av_f = jnp.take_along_axis(
+                        av_c, jnp.clip(E_c, 0, av_c.shape[1] - 1), axis=1)
+                    MT_c, avT = M_c.T, av_f.T
                 else:
-                    M_c, E_c = mcs[c], ents[c]
-                av_c = jnp.take(a_val, idx, axis=0)
-                av_f = jnp.take_along_axis(
-                    av_c, jnp.clip(E_c, 0, av_c.shape[1] - 1), axis=1)
+                    # plan-time MT/AVT: already transposed, no in-graph
+                    # per-element a_val gather (see _host_fragments)
+                    MT_c, avT = mts[c], avts[c]
+                    M_c, av_f = None, None
                 if w <= TRANSPOSED_MAX_WIDTH:
-                    g = table[M_c.T.reshape(-1)].reshape(
+                    g = table[MT_c.reshape(-1)].reshape(
                         F_c, counts[c], lanes)
                     col_c, val_c, nnz_c = _sort_compress_from_gather(
-                        g, av_f.T, width=w, run=run, ka=F_c,
+                        g, avT, width=w, run=run, ka=F_c,
                         start_kk=start_kk, interpret=interpret,
                         static_strides=static, out_width=out_c)
                 else:
@@ -1443,6 +1447,8 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                     # terms and the rows-layout kernel takes over
                     # FLAT indices + reshape: the 3-D-output gather
                     # form measured ~50x slower on v5e
+                    if M_c is None:
+                        M_c, av_f = MT_c.T, avT.T
                     g2 = table[M_c.reshape(-1)].reshape(
                         counts[c], kas[c], lanes)
                     par = (jax.lax.broadcasted_iota(
@@ -1862,10 +1868,21 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
 
 def _host_fragments(A, b_len_h, widths, run, startp, F_B,
                     idx_h, kas, counts):
-    """Host-numpy fragment matrices (the pre-device-planning path, kept
-    as the cross-check oracle for _device_fragments): build the global
-    fragment stream over the LIVE A entries and scatter it into every
-    class's (n_pad, F_c) matrix at once."""
+    """Host-numpy fragment planning: build the global fragment stream
+    over the LIVE A entries and scatter it into every class's matrices
+    at once.
+
+    Returns per-class PRE-TRANSPOSED device arrays [MT_0..] + [AVT_0..]:
+    MT_c (F_c, n_pad) packed-table row ids and AVT_c (F_c, n_pad) f32
+    a-values per fragment. Two measured reasons they're precomputed and
+    transposed HERE rather than in-graph (reports/mc_trace.json,
+    tablegather_probe.json): the in-graph per-fragment a_val gather
+    (take_along_axis over (n_pad, ka)) has no 128-lane row structure and
+    ran at ~0.5 GB/s (7.6 ms of the 20.3 ms headline call), and the
+    in-graph index transpose before the table gather cost up to 2.3 ms —
+    both are free at plan time because A's values and the fragment map
+    are already known on the host. Dead fragment slots carry av=0 (the
+    kernel masks by sentinel col anyway)."""
     a_col_h = np.asarray(A.col_ind)
     m = a_col_h.shape[0]
     e_live, j_live, len_live, rows_live, row_ptr = \
@@ -1915,16 +1932,19 @@ def _host_fragments(A, b_len_h, widths, run, startp, F_B,
            + fpos_f)
     base = int(bases[-1])
     M_flat = np.full(base, F_B, np.int32)
-    E_flat = np.zeros(base, np.int32)
+    AV_flat = np.zeros(base, np.float32)
     M_flat[tgt] = mval_f
-    E_flat[tgt] = e_f
-    mcs = [jnp.asarray(M_flat[bases[c]:bases[c + 1]]
-                       .reshape(counts[c], kas[c]))
-           for c in range(len(widths))]
-    ents = [jnp.asarray(E_flat[bases[c]:bases[c + 1]]
-                        .reshape(counts[c], kas[c]))
-            for c in range(len(widths))]
-    return mcs + ents
+    a_val_h = np.asarray(A.values)
+    AV_flat[tgt] = a_val_h[rows_f, e_f]
+    mts = [jnp.asarray(np.ascontiguousarray(
+        M_flat[bases[c]:bases[c + 1]]
+        .reshape(counts[c], kas[c]).T))
+        for c in range(len(widths))]
+    avts = [jnp.asarray(np.ascontiguousarray(
+        AV_flat[bases[c]:bases[c + 1]]
+        .reshape(counts[c], kas[c]).T))
+        for c in range(len(widths))]
+    return mts + avts
 
 
 def _finish_build(A, B, fn, assemble, widths, counts, idx_h, pos,
