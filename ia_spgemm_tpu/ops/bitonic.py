@@ -1293,7 +1293,8 @@ def _frag_totals(len_live, row_ptr, run: int):
 def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
                     value_bytes: int = 4, a_col_h=None, b_len_h=None,
                     a_col_dev=None, b_len_dev=None,
-                    layout: str | None = None):
+                    layout: str | None = None,
+                    run_override: int | None = None):
     """Plan per-row width classes: each row's products pad to ITS OWN
     pow2 width (the reference's ELL kernel pays the global-K tax instead,
     ell/common_ell.h:117-133).
@@ -1308,6 +1309,9 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
 
     layout: force 'chunked' or 'ragged' (None = cost model decides) —
     the A/B hook for calibrating the model against the chip.
+    run_override: force the sub-run length (pow2) — the A/B hook for the
+    table-lane question (run=32 packs 128-lane gather rows; run=16 packs
+    64-lane rows the gather units issue-bind on, tablegather_probe.json).
 
     Returns (MultiClassPlan, per-row width array)."""
     if layout not in (None, "chunked", "ragged"):
@@ -1328,6 +1332,11 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
     fallback = None  # cheapest candidate overall (for the error message)
     run0 = full_run
     while True:
+        if run_override is not None and run0 != run_override:
+            if run0 <= 4:
+                break
+            run0 //= 2
+            continue
         chunks = -(-max(kb, 1) // run0) if kb else 1
         W = np.maximum(128, _next_pow2_arr(
             np.maximum(lens, 1) * chunks * run0))
@@ -1357,6 +1366,13 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
             break
         run0 //= 2
     if best is None:
+        if fallback is None:
+            # run_override matched no candidate (not a pow2 in
+            # [4, next_pow2(kb)]) — inviable, caller falls back
+            return (MultiClassPlan(
+                run_override or 0, 1, (), False, False,
+                f"run_override {run_override} matches no candidate"),
+                np.maximum(128, _next_pow2_arr(np.maximum(lens, 1))))
         _, run, chunks, W, ragged = fallback
         reason = (f"a row's products exceed {MAX_WIDTH} lanes"
                   if int(W.max(initial=128)) > MAX_WIDTH
@@ -1591,7 +1607,8 @@ def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
                        interpret: bool | None = None,
                        assemble: str = "ell",
                        plan_device: bool = False,
-                       layout: str | None = None):
+                       layout: str | None = None,
+                       run_override: int | None = None):
     """Host-plan the width-class pipeline ONCE and return a zero-argument
     callable that runs it. plan_device=False (default) builds the ragged
     fragment matrices with host numpy at plan time — the measured-fastest
@@ -1604,7 +1621,7 @@ def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
     return _multiclass_build(A, B, max_classes=max_classes,
                              out_width=out_width, interpret=interpret,
                              assemble=assemble, plan_device=plan_device,
-                             layout=layout)
+                             layout=layout, run_override=run_override)
 
 
 def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
@@ -1612,7 +1629,8 @@ def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
                               interpret: bool | None = None,
                               assemble: str = "ell",
                               plan_device: bool = False,
-                              layout: str | None = None):
+                              layout: str | None = None,
+                              run_override: int | None = None):
     """C = A @ B with per-row width classes sharing ONE jitted dispatch.
 
     A single global width pads every row to the LONGEST row's products;
@@ -1635,7 +1653,7 @@ def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
     call = _multiclass_build(A, B, max_classes=max_classes,
                              out_width=out_width, interpret=interpret,
                              assemble=assemble, plan_device=plan_device,
-                             layout=layout)
+                             layout=layout, run_override=run_override)
     return call() if call is not None else None
 
 
@@ -1734,13 +1752,14 @@ def plan_cache_stats():
 def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
                       out_width: int | None, interpret: bool | None,
                       assemble: str = "ell", plan_device: bool = False,
-                      layout: str | None = None):
+                      layout: str | None = None,
+                      run_override: int | None = None):
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     anchors = (A.col_ind, A.values, A.nnz_row,
                B.col_ind, B.values, B.nnz_row)
     key = (tuple(id(x) for x in anchors), max_classes, out_width,
-           interpret, assemble, plan_device, layout)
+           interpret, assemble, plan_device, layout, run_override)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
         _BUILD_CACHE_STATS["hits"] += 1
@@ -1749,7 +1768,7 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
     call = _multiclass_build_uncached(
         A, B, max_classes=max_classes, out_width=out_width,
         interpret=interpret, assemble=assemble, plan_device=plan_device,
-        layout=layout)
+        layout=layout, run_override=run_override)
     if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
         _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
     # anchors stored alongside: a None call (inviable plan) closes over
@@ -1763,7 +1782,8 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
                                interpret: bool | None,
                                assemble: str = "ell",
                                plan_device: bool = False,
-                               layout: str | None = None):
+                               layout: str | None = None,
+                               run_override: int | None = None):
     if assemble not in ("ell", "bcsr"):
         raise ValueError(f"unknown assemble mode {assemble!r}")
     if interpret is None:
@@ -1775,7 +1795,8 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
     plan, W = plan_multiclass(
         lens, B.max_nnz_per_row, max_classes=max_classes,
         a_col_dev=A.col_ind if f32 else None,
-        b_len_dev=B.nnz_row if f32 else None, layout=layout)
+        b_len_dev=B.nnz_row if f32 else None, layout=layout,
+        run_override=run_override)
     # ragged planning needs only B's (m,) row lengths on the host; the
     # nnz-sized fragment matrices build on device (plan_device, default)
     # or via _host_fragments (the numpy cross-check oracle)

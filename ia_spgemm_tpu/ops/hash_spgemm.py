@@ -49,12 +49,12 @@ def hash_viable(ka: int, kb: int, ncols: int,
     return t_bytes <= SMEM_BUDGET_BYTES
 
 
-def _kernel(a_col_ref, a_val_ref, b_hbm_ref,
-            out_col_ref, out_val_ref, out_nnz_ref, bbuf, sem,
+def _kernel(a_col_ref, a_val_ref, bc_hbm_ref, bv_hbm_ref,
+            out_col_ref, out_val_ref, out_nnz_ref, bbuf_c, bbuf_v, sem,
             *, kb_pad: int):
     tile_rows, Ka = a_col_ref.shape
     H = out_col_ref.shape[1]
-    k_groups = b_hbm_ref.shape[0] // 8
+    k_groups = bc_hbm_ref.shape[0] // 8
     total = tile_rows * Ka
 
     # clear tables
@@ -72,17 +72,26 @@ def _kernel(a_col_ref, a_val_ref, b_hbm_ref,
         r = idx // Ka
         ka = idx - r * Ka
         # clamp: rows past m in the LAST grid tile carry garbage
-        return r, jnp.clip(a_col_ref[r, ka], -1, b_hbm_ref.shape[0] - 1)
+        return r, jnp.clip(a_col_ref[r, ka], -1, bc_hbm_ref.shape[0] - 1)
 
-    def get_dma(slot, idx):
+    def get_dmas(slot, idx):
+        # col and value planes travel as SEPARATE same-typed DMAs:
+        # SMEM loads are scalars and Mosaic's tpu.bitcast is vector-only,
+        # so an i32-packed value plane could never be reinterpreted f32
+        # inside the kernel (caught by /verify on the real chip)
         _, acol = acol_at(idx)
         grp = jnp.clip(jnp.where(acol >= 0, acol, 0) // 8, 0,
                        k_groups - 1).astype(jnp.int32)
-        # aligned 8-row group of the packed (col | val-bits) B table
-        return pltpu.make_async_copy(
-            b_hbm_ref.at[pl.ds(grp * 8, 8)], bbuf.at[slot], sem.at[slot])
+        # aligned 8-row group of B's ELL col/val tables
+        return (pltpu.make_async_copy(
+            bc_hbm_ref.at[pl.ds(grp * 8, 8)], bbuf_c.at[slot],
+            sem.at[slot, 0]),
+            pltpu.make_async_copy(
+            bv_hbm_ref.at[pl.ds(grp * 8, 8)], bbuf_v.at[slot],
+            sem.at[slot, 1]))
 
-    get_dma(0, 0).start()
+    for dma in get_dmas(0, 0):
+        dma.start()
 
     def body(idx, _):
         slot = jax.lax.rem(idx, 2)
@@ -90,9 +99,11 @@ def _kernel(a_col_ref, a_val_ref, b_hbm_ref,
 
         @pl.when(idx + 1 < total)
         def _():
-            get_dma(nxt, idx + 1).start()
+            for dma in get_dmas(nxt, idx + 1):
+                dma.start()
 
-        get_dma(slot, idx).wait()
+        for dma in get_dmas(slot, idx):
+            dma.wait()
         r, acol = acol_at(idx)
         ka = idx - r * Ka
         aval = a_val_ref[r, ka]
@@ -102,13 +113,11 @@ def _kernel(a_col_ref, a_val_ref, b_hbm_ref,
         @pl.when(acol >= 0)
         def _():
             def b_slot(kb, _):
-                j = bbuf[slot, rr, kb]
-                bv_bits = bbuf[slot, rr, kb_pad + kb]
+                j = bbuf_c[slot, rr, kb]
 
                 @pl.when(j >= 0)
                 def _():
-                    v = aval * jax.lax.bitcast_convert_type(
-                        bv_bits, jnp.float32)
+                    v = aval * bbuf_v[slot, rr, kb]
                     h0 = jax.lax.rem(
                         (j * jnp.int32(_HASH_MULT)) & jnp.int32(2**31 - 1),
                         jnp.int32(H))
@@ -143,7 +152,7 @@ def _kernel(a_col_ref, a_val_ref, b_hbm_ref,
 
 @functools.partial(jax.jit, static_argnames=("table_size", "tile_rows",
                                              "interpret", "kb_pad"))
-def _hash_call(a_col, a_val, b_packed, *, table_size: int,
+def _hash_call(a_col, a_val, b_col, b_val, *, table_size: int,
                tile_rows: int, interpret: bool, kb_pad: int):
     m, Ka = a_col.shape
     grid = (pl.cdiv(m, tile_rows),)
@@ -153,7 +162,8 @@ def _hash_call(a_col, a_val, b_packed, *, table_size: int,
         functools.partial(_kernel, kb_pad=kb_pad),
         grid=grid,
         in_specs=[smem_tile((tile_rows, Ka)), smem_tile((tile_rows, Ka)),
-                  pl.BlockSpec(memory_space=pl.ANY)],   # B stays in HBM
+                  pl.BlockSpec(memory_space=pl.ANY),    # B stays in HBM
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(smem_tile((tile_rows, table_size)),
                    smem_tile((tile_rows, table_size)),
                    smem_tile((tile_rows, 1))),
@@ -161,11 +171,12 @@ def _hash_call(a_col, a_val, b_packed, *, table_size: int,
                    jax.ShapeDtypeStruct((m, table_size), jnp.float32),
                    jax.ShapeDtypeStruct((m, 1), jnp.int32)),
         scratch_shapes=[
-            pltpu.SMEM((2, 8, 2 * kb_pad), jnp.int32),  # DMA'd B rows
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((2, 8, kb_pad), jnp.int32),    # DMA'd B cols
+            pltpu.SMEM((2, 8, kb_pad), jnp.float32),  # DMA'd B values
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(a_col, a_val, b_packed)
+    )(a_col, a_val, b_col, b_val)
 
 
 def _next_pow2(n: int) -> int:
@@ -177,8 +188,7 @@ def spgemm_hash(A: ELL, B: ELL, *, table_size: int | None = None,
                 interpret: bool | None = None) -> ELL:
     """C = A @ B via per-row SMEM hash accumulation with DMA-streamed B.
     Returns ELL with hash-ordered slots (use .to_scipy() / ell_to_csr for
-    canonical order). f32 compute (the packed B table carries value bits
-    in int32 lanes)."""
+    canonical order). f32 compute."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     for v in (A.values, B.values):
@@ -198,8 +208,10 @@ def spgemm_hash(A: ELL, B: ELL, *, table_size: int | None = None,
             f"{SMEM_BUDGET_BYTES}); use the ESC/bitonic paths")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    # packed (col | f32-value bits) ELL table, rows padded to an 8-row
-    # DMA-aligned group count
+    # B's ELL col/val planes, rows padded to an 8-row DMA-aligned group
+    # count (separate same-typed arrays: SMEM loads are scalars, and a
+    # bit-packed value plane cannot be reinterpreted f32 in the kernel —
+    # Mosaic's tpu.bitcast is vector-only)
     kb_pad = max(_next_pow2(max(Kb, 1)), 8)
     k = B.col_ind.shape[0]
     k_pad = -(-k // 8) * 8
@@ -207,10 +219,8 @@ def spgemm_hash(A: ELL, B: ELL, *, table_size: int | None = None,
                  constant_values=-1)
     bv = jnp.pad(B.values.astype(jnp.float32),
                  ((0, k_pad - k), (0, kb_pad - Kb)))
-    b_packed = jnp.concatenate(
-        [bc, jax.lax.bitcast_convert_type(bv, jnp.int32)], axis=1)
     col, val, nnz_row = _hash_call(
-        A.col_ind, A.values.astype(jnp.float32), b_packed,
+        A.col_ind, A.values.astype(jnp.float32), bc, bv,
         table_size=H, tile_rows=tile_rows, interpret=interpret,
         kb_pad=kb_pad)
     return ELL(col_ind=col, values=val, nnz_row=nnz_row[:, 0],

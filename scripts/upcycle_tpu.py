@@ -255,6 +255,15 @@ def main():
         worker_main(argv[argv.index("--worker") + 1],
                     argv[argv.index("--out") + 1], quick)
         return
+    # --max-seconds S: stop launching new matrices once the budget is
+    # spent (the per-matrix checkpoint makes the harvest resumable, so a
+    # bounded slice of chip time is still pure progress).
+    # --harvest-only: skip the in-script retrain (use
+    # scripts/retrain_from_checkpoint.py on the checkpoint instead).
+    max_seconds = float("inf")
+    if "--max-seconds" in argv:
+        max_seconds = float(argv[argv.index("--max-seconds") + 1])
+    harvest_only = "--harvest-only" in argv
 
     # Parent: CPU backend only — the worker owns the single TPU claim.
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -283,6 +292,10 @@ def main():
                  if k != "JAX_PLATFORMS"}
     tmp_out = "weights/.harvest_one.npz"
     for name, _a, _b in corpus(quick):
+        if time.time() - t_start > max_seconds:
+            print(f"--max-seconds {max_seconds:.0f} budget spent; "
+                  f"stopping with {len(samples)} samples", flush=True)
+            break
         if name in done:
             continue
         done.add(name)  # corpus can repeat fixture names; harvest once
@@ -325,6 +338,8 @@ def main():
     counts = {algo: sum(1 for s in samples if s.winner == algo)
               for algo in MENU}
     print("harvest done:", len(samples), "samples", counts, flush=True)
+    if harvest_only:
+        return
 
     steps = 120 if quick else 400
     params, history, menu = upcycle.upcycle(

@@ -556,3 +556,32 @@ def test_bitonic_bf16_pack_roundtrip():
         np.abs(np.asarray(vals)), 1e-30)
     assert (rel < 2 ** -8).all() or np.allclose(got, np.asarray(vals),
                                                 rtol=2 ** -8, atol=0)
+
+
+def test_multiclass_run_override():
+    """run_override= pins the sub-run length (the table-lane A/B hook:
+    run=32 packs 128-lane gather rows, run=16 packs 64-lane rows that
+    issue-bind the gather units — reports/tablegather_probe.json). Every
+    forced run must agree with the oracle; the plan must carry the
+    forced run."""
+    rng = np.random.default_rng(22)
+    a = sp.random(128, 128, density=0.06,
+                  random_state=np.random.RandomState(22), format="csr")
+    a.data[:] = rng.standard_normal(a.nnz)
+    A = _ell(a)
+    for run in (8, 16, 32):
+        plan, _ = bitonic.plan_multiclass(
+            np.asarray(A.nnz_row), A.max_nnz_per_row,
+            a_col_dev=A.col_ind, b_len_dev=A.nnz_row, run_override=run)
+        if not plan.viable:
+            continue
+        assert plan.run == run
+        C = bitonic.spgemm_bitonic_multiclass(A, A, run_override=run)
+        assert C is not None, run
+        _check(a, a, C)
+    # an override no candidate can satisfy degrades to inviable, not a
+    # crash (the caller's ESC fallback takes over)
+    plan, _ = bitonic.plan_multiclass(
+        np.asarray(A.nnz_row), A.max_nnz_per_row,
+        a_col_dev=A.col_ind, b_len_dev=A.nnz_row, run_override=3)
+    assert not plan.viable
