@@ -178,6 +178,23 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
             return _as_csr(C), sel
         except ValueError:
             algo = "csr"
+    if algo == "serve":
+        # bf16-value serving lane (documented bound: per-product rel
+        # error <= 2^-9, f32 accumulation). spgemm_auto's contract is a
+        # compacted CSR, so compact stays on; the sparse-output variant
+        # lives in the harness/serving surface (--mode serve).
+        from ia_spgemm_tpu.ops import bitonic as bt_ops
+        Ae = convert.csr_to_ell(A, check_guard=False)
+        Be = convert.csr_to_ell(B, check_guard=False)
+        plan = bt_ops.plan_bitonic(Ae, Be)
+        if plan.viable:
+            try:
+                C = bt_ops.spgemm_bitonic(Ae, Be, plan,
+                                          value_mode="bf16")
+                return _as_csr(C), sel
+            except ValueError:
+                pass
+        algo = "csr"
     if algo == "compensated":
         try:
             return esc.spgemm_csr_compensated(A, B), sel
@@ -191,10 +208,14 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
 
 def _as_csr(C):
     """spgemm_auto's contract is an exact CSR result; the tiled routes
-    return BlockCSR (128-aligned) which converts with one flat scatter."""
-    from ia_spgemm_tpu.formats.types import BlockCSR
+    return BlockCSR (128-aligned) and the slab engine SlabCSR — both
+    convert with one flat scatter."""
+    from ia_spgemm_tpu.formats.types import BlockCSR, SlabCSR
     if isinstance(C, BlockCSR):
         return convert.bcsr_to_csr(C)
+    if isinstance(C, SlabCSR):
+        from ia_spgemm_tpu.ops import slab as slab_mod
+        return slab_mod.slab_to_csr(C)
     if hasattr(C, "max_nnz_per_row"):        # ELL
         return convert.ell_to_csr(C)
     return C

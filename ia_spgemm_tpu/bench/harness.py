@@ -43,6 +43,11 @@ from ia_spgemm_tpu.ops.flops import get_flop
 
 ALGORITHMS = ("baseline", "csr", "dia", "ell", "coo")
 
+# serve-lane checksum gate: bf16-rounded products carry <= 2^-9 relative
+# error each (f32 accumulation); the route's verified_sum is compared at
+# this documented bound instead of the exact kernels' 1e-4
+SERVE_CHECKSUM_TOL = 2e-2
+
 # Budget for XLA compilation + first execution (no reference analogue —
 # the watchdog there only ever measures steady-state C++ kernels).
 COMPILE_BUDGET_S = 300.0
@@ -220,9 +225,12 @@ def run_benchmark(A: CSR, B: CSR,
         tol = 1e-9 if A.dtype == np.float64 else 1e-4
         for res in report.results:
             if res.ok and res.name != "baseline":
+                # the serve lane's documented bound: bf16-rounded
+                # products (rel <= 2^-9 each, f32 accumulation)
+                rtol = SERVE_CHECKSUM_TOL if res.name == "serve" else tol
                 # the reference computes these diffs silently; surface big
                 # mismatches as errors
-                if abs(res.verified_sum - baseline_sum) > tol * max(
+                if abs(res.verified_sum - baseline_sum) > rtol * max(
                         1.0, abs(baseline_sum)):
                     res.error = (f"checksum mismatch vs baseline: "
                                  f"{res.verified_sum} != {baseline_sum}")
@@ -255,14 +263,20 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
                 return x()
             return esc.spgemm_csr(A, B, x)
     elif name == "esc":
-        # the global-sort ESC engine FORCED (no tiled route): the
-        # strategy-distinct selector class; 'csr' stays the production
-        # auto route (tiled width-class sorters when viable)
-        plan = esc.plan_spgemm(A, B, bucket=config.bucket_capacities)
+        # the ESC engine (no tiled/width-class route): slab-packed VMEM
+        # sort when viable (native SlabCSR out, like bitonic's ELL and
+        # the tiled route's BlockCSR), global-sort/sliced otherwise.
+        # 'csr' stays the production auto route.
+        from ia_spgemm_tpu.ops import slab as slab_mod
+        scall = slab_mod.plan_slab_csr(A, B)
+        plan = None if scall is not None else \
+            esc.plan_spgemm(A, B, bucket=config.bucket_capacities)
         convert_fn = None
 
         def compute(ab=(A, B)):
-            return esc.spgemm_csr(ab[0], ab[1], plan)
+            if scall is not None:
+                return scall()
+            return esc.spgemm_csr(ab[0], ab[1], plan, engine="global")
     elif name == "compensated":
         # double-double accumulation: fp64-grade sums from f32 operands
         if A.dtype != np.float32 or \
@@ -365,6 +379,39 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
 
         def compute(ab):
             return hash_ops.spgemm_hash(ab[0], ab[1])
+    elif name == "serve":
+        # bf16+sparse serving lane as a FIRST-CLASS route: products
+        # round to bfloat16 and pack with their column into one int32
+        # sort key (half the sort's vector ops + half the intermediate
+        # HBM), and the output skips the omega-route compaction
+        # (survivors keep their sorted slots, col == -1 holes).
+        # ACCURACY BOUND: per-product relative error <= 2^-9 (bf16
+        # round), sums accumulate in f32 — the checksum gate for this
+        # route is SERVE_CHECKSUM_TOL, not the 1e-4 exact-kernel gate.
+        # nnz/nnz_row/checksum/to_scipy stay structurally exact.
+        from ia_spgemm_tpu.formats.convert import plan_ell_width
+        from ia_spgemm_tpu.ops import bitonic as bt_ops
+        ka = plan_ell_width(A)
+        kb = plan_ell_width(B)
+        flat_plan = bt_ops.plan_bitonic_dims(A.nrows, ka, kb)
+        lanes = max(128, 4 * flat_plan.run)
+        ka_eff = ka * flat_plan.chunks
+        if (A.dtype != np.float32 or B.ncols > 32768
+                or not flat_plan.viable
+                or flat_plan.width > bt_ops.TRANSPOSED_MAX_WIDTH
+                or ka_eff * flat_plan.run > flat_plan.width
+                or ka_eff * lanes > bt_ops._EXPAND_TILE_ELEMS):
+            res.skipped = True  # needs the fused-expand bf16 pack path
+            return None
+
+        def convert_fn():
+            return (convert.csr_to_ell(A, check_guard=False),
+                    convert.csr_to_ell(B, check_guard=False))
+
+        def compute(ab):
+            return bt_ops.spgemm_bitonic(ab[0], ab[1], flat_plan,
+                                         value_mode="bf16",
+                                         compact=False)
     elif name == "bitonic":
         from ia_spgemm_tpu.formats.convert import plan_ell_width
         from ia_spgemm_tpu.ops import bitonic as bt_ops

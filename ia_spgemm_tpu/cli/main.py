@@ -34,11 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "testing_mode, main.cpp:97-140)")
     p.add_argument("--mode", default="all",
                    help="autotune | all | baseline|csr|esc|coo|ell|dia|"
-                        "dense|bitonic|dense_row|compensated|hash "
-                        "(csr auto-routes tiled-when-viable; esc forces "
-                        "the global-sort engine) | dist|ring (row-sharded "
-                        "over the device mesh: all-gathered-B / ppermute "
-                        "ring; see --shards)")
+                        "dense|bitonic|dense_row|compensated|hash|serve "
+                        "(csr auto-routes tiled-when-viable; esc is the "
+                        "slab/global ESC engine; serve is the bf16+sparse"
+                        " lane, checksum gated at its documented 2e-2 "
+                        "bound) | dist|ring (row-sharded over the device "
+                        "mesh: all-gathered-B / ppermute ring; see "
+                        "--shards)")
     p.add_argument("--shards", type=int, default=None,
                    help="mesh size for --mode dist/ring (default: every "
                         "visible device)")
@@ -46,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MatNet weight set (Intel|Amd|P100 reference sets, "
                         "TPU = the selector retrained on measured TPU "
                         "winners, or a path.npz)")
+    p.add_argument("--profile", default="cpu", choices=("cpu", "gpu"),
+                   help="composed reference profile: cpu = the CPU driver "
+                        "(Intel weights, 26 features, 50x size guards, "
+                        "5-class menu, main.cpp:97-1001); gpu = the GPU "
+                        "driver (P100 weights, 18 features, B = A^T when "
+                        "no B given, 20x size guards, 3-class "
+                        "CUSP/cuSPARSE/NSPARSE menu, main.cu:30-557)")
     p.add_argument("--testing", action="store_true",
                    help="print input matrices (reference testing_mode)")
     p.add_argument("--json", default=None, help="write JSON report here")
@@ -170,10 +179,23 @@ def main(argv=None) -> int:
         args.testing = True
     enable_compilation_cache()
 
-    from ia_spgemm_tpu import autotune
+    from ia_spgemm_tpu import autotune, config as cfg
     from ia_spgemm_tpu.bench import harness, report as report_mod
     from ia_spgemm_tpu.io import mmio
     from ia_spgemm_tpu.ops import density
+
+    run_config = cfg.DEFAULT_CONFIG
+    if args.profile == "gpu":
+        # the composed GPU-driver profile (main.cu:30-557): P100 weights
+        # (18-feature MatNet head), B = A^T workload, the GPU tree's 20x
+        # size guards (GPU detail/dia/common_dia.h:51, coo/common_coo.h:37),
+        # and the 3-class CUSP/cuSPARSE/NSPARSE menu
+        run_config = cfg.SpGEMMConfig(
+            size_guard_ratio=cfg.SIZE_GUARD_RATIO_GPU)
+        if args.weights == "Intel":      # the CPU default was not asked for
+            args.weights = "P100"
+        if args.matrix_b is None:
+            args.transpose_b = True
 
     try:
         A = mmio.read_mtx_to_csr(args.matrix_a)
@@ -235,13 +257,20 @@ def main(argv=None) -> int:
               f"verified_sum={float(C.checksum()):.10g}")
         return 0
 
-    algorithms = (harness.ALGORITHMS
-                  + ("esc", "bitonic", "compensated", "dense",
-                     "dense_row", "hash")
-                  if args.mode == "all" else ("baseline", args.mode))
+    if args.mode != "all":
+        algorithms = ("baseline", args.mode)
+    elif args.profile == "gpu":
+        # the GPU driver benches its 3-class menu (CUSP -> coo,
+        # cuSPARSE -> csr, NSPARSE -> bitonic; main.cu:470-544)
+        algorithms = ("baseline",) + autotune.GPU_CLASS_TO_ALGORITHM
+    else:
+        algorithms = (harness.ALGORITHMS
+                      + ("esc", "bitonic", "compensated", "dense",
+                         "dense_row", "hash", "serve"))
     rep = harness.run_benchmark(
         A, B, algorithms,
         matrix_a=args.matrix_a, matrix_b=args.matrix_b or args.matrix_a,
+        config=run_config,
         matnet_pick=pick, iters=args.iters, isolate=args.isolate)
     print(report_mod.format_table(rep))
     if args.json:

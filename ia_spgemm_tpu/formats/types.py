@@ -328,6 +328,67 @@ class BlockCSR:
 
 
 @struct.dataclass
+class SlabCSR:
+    """Slab-packed CSR — whole rows packed back-to-back into fixed-width
+    sort slabs (ops/slab.py), the slab engine's native output.
+
+    Slab s covers global rows [slab_first_row[s], next slab's first
+    row); its first nnz_slab[s] key slots are valid, keys ascend, and
+    key = (row - slab_first_row[s]) * ncols + col. Pad slots carry
+    key == -1 / value == 0, so checksum() is one free reduction.
+
+    Rationale (same family as BlockCSR): an exact flat CSR needs
+    per-element scatters or dynamic-offset HBM DMA writes — the latter
+    crashes this toolchain's Mosaic remote-compile (reports/
+    slab_probe.json history) and the former runs ~10 ns/element. The
+    slab layout is already row-major-sorted and exact; flattening is a
+    consumer-side choice (to_csr) priced separately, exactly like
+    BlockCSR/ELL consumers.
+    """
+
+    keys: jax.Array            # (S, W) int32 packed (local_row, col)
+    values: jax.Array          # (S, W) float, padding == 0
+    nnz_slab: jax.Array        # (S,) int32 — survivors per slab
+    slab_first_row: jax.Array  # (S,) int32 — global row of local row 0
+    nnz: jax.Array             # 0-d int32
+    shape: Shape2 = struct.field(pytree_node=False)
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.keys.shape[1]
+
+    @property
+    def dtype(self):
+        return self.values.dtype
+
+    def checksum(self) -> jax.Array:
+        return jnp.sum(self.values)
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        S, W = self.keys.shape
+        keys = np.asarray(self.keys).astype(np.int64)
+        vals = np.asarray(self.values)
+        nnz_s = np.asarray(self.nnz_slab).astype(np.int64)
+        sfr = np.asarray(self.slab_first_row).astype(np.int64)
+        ok = np.arange(W)[None, :] < nnz_s[:, None]
+        k = keys[ok]
+        lrow = k // self.ncols
+        rows = np.repeat(sfr, nnz_s) + lrow
+        cols = k - lrow * self.ncols
+        return sp.coo_matrix((vals[ok], (rows, cols)),
+                             shape=self.shape).tocsr()
+
+
+@struct.dataclass
 class Dense:
     """Dense fallback / MXU reference path
     (reference: detail/format.h:7-14 DenseMatrix)."""

@@ -1250,6 +1250,26 @@ def _frag_rows_dev(a_col, b_len, run):
     return jnp.sum(fe, axis=1, dtype=jnp.int32)
 
 
+@jax.jit
+def _frag_rows_dev_multi(a_col, b_len, runs):
+    """ALL run candidates' per-row fragment totals in ONE dispatch: the
+    (m, ka) B-length gather — the expensive part — is hoisted and each
+    candidate is one elementwise ceil-div + row-sum (lax.map keeps the
+    (m, ka) intermediate single-buffered instead of vmap's (R, m, ka)).
+    Replaces the per-candidate dispatch+readback loop that dominated the
+    33 s skew planning time (reports/mc_profile.json
+    plan_multiclass_s)."""
+    lens = jnp.maximum(
+        b_len[jnp.clip(a_col, 0, b_len.shape[0] - 1)], 0)
+    live = a_col >= 0
+
+    def per_run(r):
+        fe = jnp.where(live, jnp.maximum(-(-lens // r), 1), 0)
+        return jnp.sum(fe, axis=1, dtype=jnp.int32)
+
+    return jax.lax.map(per_run, runs)
+
+
 def _compact_entries(a_col_h, b_len_h, a_len_h=None):
     """Live-entry stream of A's padded ELL (row-major order): in-row
     slot ids, B-row ids, B-row lengths, A-row ids, and per-A-row
@@ -1330,6 +1350,21 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
 
     best = None      # cheapest FEASIBLE candidate
     fallback = None  # cheapest candidate overall (for the error message)
+    # every run candidate's fragment totals in ONE device dispatch +
+    # ONE readback (the per-candidate loop paid a dispatch, a (m,)
+    # readback and its tunnel RTT per run — ~30 s on skewed planning,
+    # reports/mc_profile.json)
+    F_by_run = {}
+    if ragged_ok and use_dev:
+        cand_runs = [r for r in
+                     (full_run >> s for s in range(64))
+                     if r >= min(4, full_run)
+                     and (run_override is None or r == run_override)]
+        if cand_runs:
+            F_all = np.asarray(_frag_rows_dev_multi(
+                a_col_dev, b_len_dev,
+                jnp.asarray(cand_runs, jnp.int32))).astype(np.int64)
+            F_by_run = dict(zip(cand_runs, F_all))
     run0 = full_run
     while True:
         if run_override is not None and run0 != run_override:
@@ -1349,9 +1384,7 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
             best = cand
         if ragged_ok:
             if use_dev:
-                F = np.asarray(_frag_rows_dev(
-                    a_col_dev, b_len_dev,
-                    jnp.int32(run0))).astype(np.int64)
+                F = F_by_run[run0]
             else:
                 _, F = _frag_totals(ce[2], ce[4], run0)
             Wr = np.maximum(128, _next_pow2_arr(np.maximum(F, 1) * run0))

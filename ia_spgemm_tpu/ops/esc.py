@@ -493,12 +493,26 @@ def _spgemm_csr_sliced(A: CSR, B: CSR, plan: SpGEMMPlan) -> CSR:
                shape=(m, n))
 
 
-def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None) -> CSR:
+def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None,
+               engine: str = "auto") -> CSR:
     """C = A @ B with both operands CSR. The TPU analogue of the reference's
     CSR_MUL_CSR (csr/common_csr.h:85-193). Expansions beyond the workspace
-    run the sliced path (see plan_spgemm/_spgemm_csr_sliced)."""
+    run the sliced path (see plan_spgemm/_spgemm_csr_sliced).
+
+    engine="auto" (default): the slab-packed VMEM engine (ops/slab.py)
+    when viable — same ESC strategy, the sort stays inside VMEM tiles
+    instead of the ~25x-off-bandwidth global device sort; identity-keyed
+    plan caching makes repeat calls O(dict lookup). engine="global"
+    forces the global-sort/sliced path (the fp64 golden-summation-order
+    oracle, and the A/B baseline for the slab engine)."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    if engine == "auto":
+        from ia_spgemm_tpu.ops import slab as slab_mod
+        call = slab_mod.plan_slab_csr(A, B)
+        if call is not None:
+            return slab_mod.slab_to_csr(call(),
+                                        out_cap=call.plan.out_cap)
     if plan is None:
         plan = plan_spgemm(A, B)
     if plan.slabs is not None:

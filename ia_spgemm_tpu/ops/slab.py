@@ -1,0 +1,494 @@
+"""Slab-packed ESC — expand/sort/compress with many C rows per VMEM tile.
+
+Reference semantics: the GPU ESC pipeline
+(IA-SPGEMM-GPU_release/detail/csr_dev/common_csr_dev.h:134-254) expands
+every intermediate product, sorts the whole stream by (row, col), and
+compresses duplicates with reduce_by_key; the sliced variant
+(coo_dev/common_coo_dev.h:388-450) partitions rows so each slice's
+expansion fits the workspace.
+
+TPU-first redesign: a global device sort runs ~25x off HBM bandwidth at
+multi-million E (ops/esc.py header), and the per-row width-class kernels
+(ops/bitonic.py) pay pow2 padding per row (~40% on near-uniform inputs)
+plus per-class dispatch machinery. This engine keeps the ESC structure
+but packs WHOLE ROWS back-to-back into fixed-width SLABS:
+
+  1. plan (host, nnz-scaled numpy): greedy row packing over the padded
+     per-row product counts — the reference's upper_bound search over
+     cummulative_row_workspace (coo_dev:388-421) at VMEM-tile scale;
+     per-slab fragment index matrices (pre-transposed — the argument-
+     layout table gather measured 6x slower un-transposed,
+     reports/tablegather_probe.json).
+  2. expand+sort (Pallas, cols layout): ONE flat row-gather of packed
+     128-lane B fragments at HBM bandwidth, keys = local_row * n + col
+     so ONE bitonic network sorts every row in the slab at once (rows
+     stay disjoint in key space; duplicates are adjacent within a row).
+     The network starts at 2*run — fragments arrive as alternating
+     ascending/descending sorted runs like the flat pipeline's.
+  3. compress (Pallas): the shared segmented-sum + omega-network
+     compaction (bitonic._compress_kernel_t), per slab.
+  4. assemble (Pallas DMA): slabs concatenate into exact CSR with one
+     sequential pass of dynamic-offset VMEM->HBM copies (each slab's W
+     lanes land at the running nnz offset; the next slab's copy
+     overwrites the previous slab's padding tail) — no per-element
+     scatter/gather anywhere in the epilogue.
+
+vs the per-row classes: a row costs ceil(products/run)*run slots instead
+of next_pow2(products), so near-uniform inputs sort ~P slots instead of
+~1.4-2x P; vs the global sort: all sorting is VPU work inside VMEM.
+f32 only (the packed col|val-bits table); fp64 stays on the global-sort
+engine whose summation order the golden tests pin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ia_spgemm_tpu import config as cfg
+from ia_spgemm_tpu.formats.types import CSR, SlabCSR
+from ia_spgemm_tpu.ops import bitonic
+from ia_spgemm_tpu.ops.bitonic import (
+    SENTINEL,
+    _COLS_STATIC_MAX_WIDTH,
+    _EXPAND_TILE_ELEMS,
+    _FUSED_VMEM_LIMIT,
+    _TILE_LANES,
+)
+
+# default sub-run fragment length: 32 packs [col|val|col_rev|val_rev]
+# into exactly 128 table lanes — row-gathers of >=128-lane rows run at
+# HBM bandwidth on v5e while 64-lane rows issue-bind the gather units
+# (reports/tablegather_probe.json: preT run=32 381 GB/s vs run=16 280)
+DEFAULT_RUN = 32
+# cols-layout sort width cap (bitonic.TRANSPOSED_MAX_WIDTH): wider
+# needs the rows layout whose XLA expand is lane-misaligned
+SLAB_MAX_WIDTH = 1024
+SLAB_MIN_WIDTH = 512
+# total padded product slots allowed (n_slabs * width); 2 GB of key+val
+SLAB_ELEMS_BUDGET = 1 << 28
+
+
+@dataclasses.dataclass
+class SlabPlan:
+    """Host-side slab packing + device operands for one (A, B) problem."""
+    width: int
+    run: int
+    n_slabs: int           # padded to a _TILE_LANES multiple
+    out_cap: int
+    nnz_bound: int         # exact output-nnz upper bound (pre-bucket)
+    m: int
+    n: int
+    padded_slots: int      # n_slabs * width (sort volume incl. padding)
+    true_flops: int        # exact E (GetFlop)
+    # device arrays
+    mt: jax.Array          # (F_c, n_slabs) fragment-table row ids
+    avt: jax.Array         # (F_c, n_slabs) owning A values
+    lrt: jax.Array         # (F_c, n_slabs) slab-local C-row ids
+    table: jax.Array       # packed B fragment table (F_B+1, lanes)
+    slab_first_row: jax.Array  # (n_slabs, 1) global row of local row 0
+
+
+def _expand_sort_kernel_lr(g_ref, av_ref, lr_ref, out_k_ref, out_v_ref,
+                           *, ka: int, run: int, width: int, n: int,
+                           start_kk: int, static_strides: bool,
+                           ka_blocks: int = 1):
+    """bitonic._expand_sort_kernel_t with slab-local row keys: each
+    fragment's sorted B columns become keys local_row * n + col, so one
+    network sorts every packed row at once and duplicate (row, col)
+    products land adjacent. Monotone col runs stay monotone under the
+    constant per-fragment offset, so the presorted start (2*run) holds."""
+    L = av_ref.shape[1]
+    ka_blk = g_ref.shape[0]
+
+    def emit(e_local, e_global, base):
+        geT = g_ref[e_local].T
+        if e_global % 2 == 1:
+            c = geT[2 * run:3 * run]
+            vbits = geT[3 * run:4 * run]
+        else:
+            c = geT[0:run]
+            vbits = geT[run:2 * run]
+        v = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+        valid = c >= 0
+        key = lr_ref[e_local][None, :] * n + c
+        out_k_ref[pl.ds(base + e_local * run, run), :] = jnp.where(
+            valid, key, SENTINEL)
+        out_v_ref[pl.ds(base + e_local * run, run), :] = jnp.where(
+            valid, av_ref[e_local][None, :] * v, 0.0)
+
+    pad = width - ka * run
+    if ka_blocks == 1:
+        for e in range(ka):
+            emit(e, e, 0)
+        if pad:
+            out_k_ref[ka * run:, :] = jnp.full((pad, L), SENTINEL,
+                                               jnp.int32)
+            out_v_ref[ka * run:, :] = jnp.zeros((pad, L), jnp.float32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+        k, v = bitonic._bitonic_sort_t(out_k_ref[:], out_v_ref[:], sub,
+                                       width, start_kk, static_strides)
+        out_k_ref[:] = k
+        out_v_ref[:] = v
+        return
+    j = pl.program_id(1)
+    base = j * ka_blk * run
+    for e in range(ka_blk):
+        # with even ka_blk the block-local parity equals the global one
+        emit(e, e, base)
+
+    @pl.when(j == ka_blocks - 1)
+    def _():
+        if pad:
+            out_k_ref[ka * run:, :] = jnp.full((pad, L), SENTINEL,
+                                               jnp.int32)
+            out_v_ref[ka * run:, :] = jnp.zeros((pad, L), jnp.float32)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
+        k, v = bitonic._bitonic_sort_t(out_k_ref[:], out_v_ref[:], sub,
+                                       width, start_kk, static_strides)
+        out_k_ref[:] = k
+        out_v_ref[:] = v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "run", "ka", "n", "start_kk",
+                                    "interpret", "static_strides"))
+def _slab_sort_compress(g, avT, lrT, *, width: int, run: int, ka: int,
+                        n: int, start_kk: int, interpret: bool,
+                        static_strides: bool = True):
+    """Cols-layout expand+sort then compress over slab tiles. Returns
+    row-major (keys (S, width), vals (S, width), nnz (S, 1)) — keys are
+    still local_row * n + col, compacted left per slab."""
+    static_strides = static_strides and not interpret
+    S = avT.shape[1]
+    lanes = g.shape[2]
+    L = _TILE_LANES
+    ka_blocks = 1
+    ka_blk = ka
+    while ka_blk * lanes > _EXPAND_TILE_ELEMS and ka_blk % 2 == 0:
+        ka_blk //= 2
+        ka_blocks *= 2
+    if ka_blocks == 1:
+        grid = (pl.cdiv(S, L),)
+        gspec = pl.BlockSpec((ka, L, lanes), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM)
+        fspec = pl.BlockSpec((ka, L), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+        colt = lambda h: pl.BlockSpec(  # noqa: E731
+            (h, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+    else:
+        grid = (pl.cdiv(S, L), ka_blocks)
+        gspec = pl.BlockSpec((ka_blk, L, lanes), lambda i, j: (j, i, 0),
+                             memory_space=pltpu.VMEM)
+        fspec = pl.BlockSpec((ka_blk, L), lambda i, j: (j, i),
+                             memory_space=pltpu.VMEM)
+        colt = lambda h: pl.BlockSpec(  # noqa: E731
+            (h, L), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    k_s, v_s = pl.pallas_call(
+        functools.partial(_expand_sort_kernel_lr, ka=ka, run=run,
+                          width=width, n=n, start_kk=start_kk,
+                          static_strides=static_strides,
+                          ka_blocks=ka_blocks),
+        grid=grid,
+        in_specs=[gspec, fspec, fspec],
+        out_specs=(colt(width), colt(width)),
+        out_shape=(jax.ShapeDtypeStruct((width, S), jnp.int32),
+                   jax.ShapeDtypeStruct((width, S), jnp.float32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+        interpret=interpret,
+    )(g, avT, lrT)
+    c1 = lambda h: pl.BlockSpec(  # noqa: E731
+        (h, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+    key_t, val_t, nnz = pl.pallas_call(
+        functools.partial(bitonic._compress_kernel_t, width=width,
+                          static_strides=static_strides,
+                          transpose_out=False, out_width=None),
+        grid=(pl.cdiv(S, L),),
+        in_specs=[c1(width), c1(width)],
+        out_specs=(c1(width), c1(width),
+                   pl.BlockSpec((L, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((width, S), jnp.int32),
+                   jax.ShapeDtypeStruct((width, S), jnp.float32),
+                   jax.ShapeDtypeStruct((S, 1), jnp.int32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
+        interpret=interpret,
+    )(k_s, v_s)
+    return key_t.T, val_t.T, nnz
+
+
+# NOTE on flat-CSR assembly: the natural epilogue — one sequential pass
+# of dynamic-offset VMEM->HBM DMA copies concatenating the per-slab
+# compacted streams at HBM bandwidth — is NOT compilable on this
+# toolchain: make_async_copy with ANY data-dependent destination offset
+# (aligned or not, SMEM- or program_id-sourced) crashes the Mosaic
+# remote-compile helper (bisect history in git: v7/v8/v9 probes; dynamic
+# SOURCE offsets work fine, hash_spgemm.py relies on them). The engine
+# therefore returns its native SlabCSR (exact, row-major sorted, free
+# checksum) and flattening is a priced consumer-side conversion,
+# exactly like BlockCSR/ELL.
+
+
+@functools.partial(jax.jit, static_argnames=("n", "out_cap"))
+def _compact_xla(keys, vals, nnz_s, sfr, *, n: int, out_cap: int):
+    """Slab concatenation as an XLA drop-mode scatter (~per-element
+    cost): out position base[s] + t for survivor t of slab s."""
+    S, W = keys.shape
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(nnz_s[:, 0], dtype=jnp.int32)])
+    t = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    ok = t < nnz_s
+    dst = jnp.where(ok, base[:-1, None] + t, out_cap).reshape(-1)
+    lrow = jnp.floor_divide(keys, n)
+    rows = jnp.where(ok, sfr + lrow, 0).reshape(-1)
+    cols = jnp.where(ok, keys - lrow * n, 0).reshape(-1)
+    vv = jnp.where(ok, vals, 0).reshape(-1)
+    out_r = jnp.zeros((out_cap + 1,), jnp.int32).at[dst].set(rows,
+                                                             mode="drop")
+    out_c = jnp.zeros((out_cap + 1,), jnp.int32).at[dst].set(cols,
+                                                             mode="drop")
+    out_v = jnp.zeros((out_cap + 1,), vals.dtype).at[dst].set(vv,
+                                                              mode="drop")
+    return out_r, out_c, out_v
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "out_cap"))
+def _finalize_csr(rows_raw, cols_raw, vals_raw, total,
+                  *, m: int, n: int, out_cap: int):
+    """Mask the uninitialized/garbage tail past the exact nnz, then
+    derive row_ptr from the (ascending) compacted row stream."""
+    o = jax.lax.iota(jnp.int32, out_cap)
+    live = o < total
+    rows = jnp.where(live, rows_raw[:out_cap], m)
+    col = jnp.where(live, cols_raw[:out_cap], n)
+    val = jnp.where(live, vals_raw[:out_cap], 0.0)
+    row_ptr = jnp.searchsorted(
+        rows, jnp.arange(m + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    return row_ptr, col, val
+
+
+# identity-keyed build cache (same contract as bitonic._BUILD_CACHE):
+# jax arrays are immutable, so identical operand objects imply identical
+# content; each live entry's runner closes over its operands, pinning
+# the ids. FIFO-bounded so dead plans can't hoard HBM.
+_BUILD_CACHE: dict = {}
+_BUILD_CACHE_MAX = 2
+
+
+def clear_plan_cache():
+    _BUILD_CACHE.clear()
+
+
+def plan_slab_csr(A: CSR, B: CSR, *, width: int | None = None,
+                  run: int | None = None,
+                  interpret: bool | None = None):
+    key = (id(A.row_ptr), id(A.col_ind), id(A.values),
+           id(B.row_ptr), id(B.col_ind), id(B.values),
+           width, run, interpret)
+    hit = _BUILD_CACHE.get(key)
+    if hit is not None:
+        return hit[0]
+    call = _plan_slab_csr_uncached(A, B, width=width, run=run,
+                                   interpret=interpret)
+    if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
+        _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
+    # anchors pinned explicitly: a None (inviable) result closes over
+    # nothing, so the ids must be kept alive by the cache itself
+    _BUILD_CACHE[key] = (call, (A.row_ptr, A.col_ind, A.values,
+                                B.row_ptr, B.col_ind, B.values))
+    return call
+
+
+def _plan_slab_csr_uncached(A: CSR, B: CSR, *, width: int | None = None,
+                            run: int | None = None,
+                            interpret: bool | None = None):
+    """Host-plan the slab engine for C = A @ B (both CSR, f32) and return
+    a zero-argument runner producing an exact CSR — or None when the
+    engine is not viable (non-f32, a row's padded products exceed the
+    slab width cap, or the padded volume blows the budget).
+
+    All planning is nnz-scaled host numpy (~ms at half-million nnz) —
+    no per-candidate device probing, no device readbacks."""
+    if A.ncols != B.nrows:
+        raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
+    if (A.values.dtype != jnp.float32 or B.values.dtype != jnp.float32):
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    run = int(run) if run else DEFAULT_RUN
+    m, n = A.nrows, B.ncols
+    nnzA = int(A.nnz)
+    if nnzA == 0 or int(B.nnz) == 0:
+        return None  # trivial problems stay on the general engine
+    a_rp = np.asarray(A.row_ptr).astype(np.int64)
+    a_col = np.asarray(A.col_ind)[:nnzA].astype(np.int64)
+    a_val = np.asarray(A.values)[:nnzA].astype(np.float32)
+    b_len = np.diff(np.asarray(B.row_ptr)).astype(np.int64)
+
+    e_len = b_len[np.clip(a_col, 0, B.nrows - 1)]
+    frag_e = -(-e_len // run)                       # 0 for empty B rows
+    ecs = np.concatenate([[0], np.cumsum(frag_e)])
+    prf = (ecs[a_rp[1:]] - ecs[a_rp[:-1]]) * run    # padded row products
+    rf = np.concatenate([[0], np.cumsum(e_len)])
+    rf = rf[a_rp[1:]] - rf[a_rp[:-1]]               # true row products
+    max_prf = int(prf.max(initial=0))
+    if max_prf == 0:
+        return None
+    W = int(width) if width else max(
+        SLAB_MIN_WIDTH, bitonic._next_pow2(max_prf))
+    if max_prf > W or W > SLAB_MAX_WIDTH:
+        return None
+
+    # greedy packing of NONEMPTY rows over the padded-flops prefix (the
+    # reference's upper_bound over cummulative_row_workspace)
+    live_rows = np.nonzero(prf > 0)[0]
+    pl_live = prf[live_rows]
+    csum = np.concatenate([[0], np.cumsum(pl_live)])
+    bounds = [0]
+    nlive = len(live_rows)
+    while bounds[-1] < nlive:
+        r0 = bounds[-1]
+        r1 = int(np.searchsorted(csum, csum[r0] + W, side="right")) - 1
+        bounds.append(max(r1, r0 + 1))
+    n_slabs = len(bounds) - 1
+    S_pad = -(-n_slabs // _TILE_LANES) * _TILE_LANES
+    F_c = W // run
+    if S_pad * W > SLAB_ELEMS_BUDGET:
+        return None
+    bounds = np.asarray(bounds, dtype=np.int64)
+    slab_of = np.repeat(np.arange(n_slabs, dtype=np.int64),
+                        np.diff(bounds))                   # per live row
+    # local row = GLOBAL row offset from the slab's first row (empty
+    # rows inside a slab's span keep their gap, so the decode
+    # slab_first_row + key//n lands on the true global row)
+    first_row = live_rows[bounds[:-1]]                     # per slab
+    lrow_of = live_rows - first_row[slab_of]
+    rspan = int(lrow_of.max(initial=0)) + 1
+    if rspan * n >= 2**31:
+        return None  # slab-local keys must fit int32 below SENTINEL
+
+    # B's fragment grid + packed table (pre-reversed runs, 128 lanes)
+    from ia_spgemm_tpu.formats import convert
+    kb = convert.plan_ell_width(B)
+    if B.nrows * max(kb, 1) > (1 << 28):
+        return None
+    cm = max(-(-kb // run), 1)
+    b_cnt = -(-b_len // run)
+    startp = np.concatenate([[0], np.cumsum(b_cnt)])
+    F_B = int(startp[-1])
+    js = np.repeat(np.arange(len(b_cnt)), b_cnt)
+    within_b = np.arange(F_B) - np.repeat(startp[:-1], b_cnt)
+    frag_src = js * cm + within_b
+
+    # global fragment stream over A's entries -> (slab, fragment-slot)
+    F_total = int(ecs[-1])
+    src_e = np.repeat(np.arange(nnzA, dtype=np.int64), frag_e)
+    within = np.arange(F_total, dtype=np.int64) \
+        - np.repeat(ecs[:-1], frag_e)
+    mval = startp[a_col[src_e]] + within                # table row ids
+    row_of_e = np.repeat(np.arange(m, dtype=np.int64), np.diff(a_rp))
+    rows_f = row_of_e[src_e]
+    # dense row -> live-rank map (empty rows never carry fragments)
+    live_rank = np.zeros(m, np.int64)
+    live_rank[live_rows] = np.arange(nlive)
+    lr_f = live_rank[rows_f]
+    # per-fragment slot inside its slab: global stream position minus
+    # the slab's stream start (the fragment cumsum at the slab's first
+    # live row's first entry)
+    slab_f = slab_of[lr_f]
+    slab_stream_start = ecs[a_rp[live_rows[bounds[:-1]]]]
+    fpos = np.arange(F_total, dtype=np.int64) \
+        - slab_stream_start[slab_f]
+
+    tgt = slab_f * F_c + fpos
+    M_flat = np.full(S_pad * F_c, F_B, np.int32)
+    AV_flat = np.zeros(S_pad * F_c, np.float32)
+    LR_flat = np.zeros(S_pad * F_c, np.int32)
+    M_flat[tgt] = mval.astype(np.int32)
+    AV_flat[tgt] = a_val[src_e]
+    LR_flat[tgt] = lrow_of[lr_f].astype(np.int32)
+
+    mt = jnp.asarray(np.ascontiguousarray(
+        M_flat.reshape(S_pad, F_c).T))
+    avt = jnp.asarray(np.ascontiguousarray(
+        AV_flat.reshape(S_pad, F_c).T))
+    lrt = jnp.asarray(np.ascontiguousarray(
+        LR_flat.reshape(S_pad, F_c).T))
+
+    B_ell = convert.csr_to_ell(B, width=kb, check_guard=False)
+    table = bitonic._ragged_table(
+        B_ell.col_ind, B_ell.values,
+        jnp.asarray(frag_src.astype(np.int32)), run=run, cm=cm)
+
+    sfr_h = np.zeros((S_pad, 1), np.int32)
+    sfr_h[:n_slabs, 0] = live_rows[bounds[:-1]]
+    sfr = jnp.asarray(sfr_h)
+
+    nnz_bound = int(np.minimum(rf, n).sum())
+    out_cap = cfg.bucket_capacity(max(nnz_bound, 1))
+    if out_cap + W >= 2**31:
+        return None
+
+    plan = SlabPlan(width=W, run=run, n_slabs=S_pad, out_cap=out_cap,
+                    nnz_bound=nnz_bound, m=m, n=n,
+                    padded_slots=S_pad * W,
+                    true_flops=int(e_len.sum()),
+                    mt=mt, avt=avt, lrt=lrt, table=table,
+                    slab_first_row=sfr)
+    shape = (m, n)
+    lanes = int(table.shape[1])
+    static = W <= _COLS_STATIC_MAX_WIDTH
+
+    def call() -> SlabCSR:
+        g = plan.table[plan.mt.reshape(-1)].reshape(F_c, S_pad, lanes)
+        keys, vals, nnz_s = _slab_sort_compress(
+            g, plan.avt, plan.lrt, width=W, run=run, ka=F_c, n=n,
+            start_kk=2 * run, interpret=interpret,
+            static_strides=static)
+        total = jnp.sum(nnz_s[:, 0])
+        return SlabCSR(keys=keys, values=vals, nnz_slab=nnz_s[:, 0],
+                       slab_first_row=plan.slab_first_row[:, 0],
+                       nnz=total.astype(jnp.int32), shape=shape)
+
+    call.plan = plan
+    return call
+
+
+def slab_to_csr(C: SlabCSR, *, out_cap: int | None = None) -> CSR:
+    """Flatten a SlabCSR to exact device CSR.
+
+    Priced conversion (like convert.bcsr_to_csr): one drop-mode XLA
+    scatter over the slab grid (~per-element cost) plus a searchsorted
+    row_ptr — NOT part of the engine's hot path. Use the SlabCSR
+    directly (checksum/to_scipy are exact) when a flat layout isn't
+    required."""
+    m, n = C.shape
+    if out_cap is None:
+        out_cap = cfg.bucket_capacity(max(int(C.keys.shape[0])
+                                          * int(C.keys.shape[1]), 1))
+        # the exact nnz is a device scalar; cap by the grid size
+    rows_raw, cols_raw, vals_raw = _compact_xla(
+        C.keys, C.values, C.nnz_slab[:, None], C.slab_first_row[:, None],
+        n=n, out_cap=out_cap)
+    row_ptr, col, val = _finalize_csr(
+        rows_raw, cols_raw, vals_raw, C.nnz, m=m, n=n, out_cap=out_cap)
+    return CSR(row_ptr=row_ptr, col_ind=col, values=val,
+               nnz=C.nnz, shape=C.shape)
+
+
+def spgemm_csr_slab(A: CSR, B: CSR, *, width: int | None = None,
+                    run: int | None = None,
+                    interpret: bool | None = None):
+    """C = A @ B through the slab engine (native SlabCSR out); None when
+    not viable."""
+    call = plan_slab_csr(A, B, width=width, run=run, interpret=interpret)
+    return call() if call is not None else None

@@ -109,6 +109,66 @@ def test_cli_tpu_weight_set(tmp_path, capsys):
     assert "ran algorithm" in capsys.readouterr().out
 
 
+def test_cli_gpu_profile_end_to_end(tmp_path, capsys):
+    """The composed GPU-driver profile replays the reference GPU flow
+    (main.cu:30-557) as ONE configuration: load A -> B = A^T -> density
+    images -> 18-feature P100 MatNet pick (3-class menu) -> bench the
+    CUSP/cuSPARSE/NSPARSE-slot algorithms under the GPU tree's 20x size
+    guards -> report."""
+    import os as _os
+
+    from ia_spgemm_tpu.cli.main import main
+    from ia_spgemm_tpu.models import weights as w
+    if not _os.path.exists(_os.path.join(w.LOCAL_WEIGHTS_DIR,
+                                         "P100_matnet.npz")):
+        import pytest as _pytest
+        _pytest.skip("P100 weights not present")
+    path = fixtures.mtx_file(tmp_path, "general_real")
+    out_json = tmp_path / "gpu_report.json"
+    imgs = tmp_path / "imgs"
+    rc = main([path, "--profile", "gpu", "--mode", "all", "--iters", "1",
+               "--json", str(out_json), "--imgs-dir", str(imgs)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # MatNet ran with the 3-class P100 head and picked from the GPU menu
+    assert "MatNet prediction" in out
+    cls = int(out.split("MatNet prediction: class ")[1].split(" ")[0])
+    assert 0 <= cls < 3
+    assert (imgs / "img1.txt").exists() and (imgs / "img2.txt").exists()
+    rep = json.loads(out_json.read_text())
+    names = [r["name"] for r in rep["results"]]
+    # the GPU menu: vendor baseline + CUSP(coo) + cuSPARSE(csr) +
+    # NSPARSE-slot(bitonic) — and nothing from the CPU-only sweep
+    assert names == ["baseline", "coo", "csr", "bitonic"]
+    assert all(r["ok"] for r in rep["results"]), rep["results"]
+    assert rep["matrix_b"] == path  # B came from A (transposed), not a file
+
+
+def test_gpu_profile_guard_ratio():
+    """--profile gpu threads the 20x guard (GPU detail/dia/common_dia.h:51)
+    into the harness config: a format whose footprint lands between 20x
+    and 50x CSR bytes is viable under the CPU profile, skipped under the
+    GPU one."""
+    from ia_spgemm_tpu import config as cfg
+    from ia_spgemm_tpu.formats import convert
+    # one dense row + scattered singletons: ELL width = m pushes the
+    # padded footprint far past CSR's
+    import scipy.sparse as sp
+    m = 64
+    rows = np.concatenate([np.zeros(m, np.int64), np.arange(m)])
+    cols = np.concatenate([np.arange(m), np.arange(m)])
+    a = sp.coo_matrix((np.ones(2 * m, np.float64), (rows, cols)),
+                      shape=(m, m)).tocsr()
+    a.sum_duplicates()
+    A = CSR.from_scipy(a)
+    ka = convert.plan_ell_width(A)
+    ratio = convert.sizeof_ell(m, ka) / convert.sizeof_csr(m, int(A.nnz))
+    assert cfg.SIZE_GUARD_RATIO_GPU < ratio < cfg.SIZE_GUARD_RATIO_CPU
+    assert convert.csr_to_ell(A) is not None  # CPU 50x: viable
+    assert convert.csr_to_ell(
+        A, ratio=cfg.SIZE_GUARD_RATIO_GPU) is None  # GPU 20x: rejected
+
+
 def test_cli_shape_mismatch(tmp_path):
     from ia_spgemm_tpu.cli.main import main
     pa = fixtures.mtx_file(tmp_path, "rect_real")        # 6x4
@@ -149,6 +209,72 @@ def test_scaling_report_shape():
     rep = scaling.report(pts)
     assert rep["metric"] == "ring_spgemm_scaling"
     assert len(rep["points"]) == 2
+
+
+def test_serve_route_first_class():
+    """The bf16+sparse serving lane is a selectable harness route with
+    its own documented checksum bound (SERVE_CHECKSUM_TOL), not just a
+    bench side-metric."""
+    a = fixtures.banded_csr(64, bandwidth=2, seed=77)
+    A = CSR.from_scipy(a.astype("float32"))
+    rep = harness.run_benchmark(A, A, ("baseline", "serve"), iters=1)
+    serve = rep.by_name("serve")
+    assert serve.ok and not serve.error, (serve.error, serve.skipped)
+    base = rep.by_name("baseline")
+    rel = abs(serve.verified_sum - base.verified_sum) / max(
+        1.0, abs(base.verified_sum))
+    assert rel <= harness.SERVE_CHECKSUM_TOL
+
+
+def test_serve_route_skips_when_unviable():
+    """fp64 input (no bf16 pack path) must skip, not error."""
+    a = fixtures.banded_csr(32, bandwidth=1, seed=78)
+    A = CSR.from_scipy(a.astype("float64"))
+    rep = harness.run_benchmark(A, A, ("baseline", "serve"), iters=1)
+    serve = rep.by_name("serve")
+    assert serve.skipped and not serve.ok
+
+
+def test_esc_slab_engine_routes():
+    """spgemm_csr engine='auto' routes f32 problems through the slab
+    engine (ops/slab.py) and engine='global' forces the global sort;
+    both match the oracle."""
+    from ia_spgemm_tpu.ops import esc, slab
+    a = fixtures.random_csr(128, 128, density=0.06, seed=79)
+    A = CSR.from_scipy(a.astype("float32"))
+    assert slab.plan_slab_csr(A, A) is not None
+    want = (a @ a).tocsr()
+    for engine in ("auto", "global"):
+        C = esc.spgemm_csr(A, A, engine=engine)
+        d = abs(C.to_scipy().astype("float64") - want)
+        assert (d.max() if d.nnz else 0.0) < 1e-4
+
+
+def test_dist_scaling_measured():
+    """Measured dist-route scaling decomposition: per-shard standalone
+    timings (real load balance), mesh-serialized check, modeled wire kept
+    separate from the measured numbers."""
+    import jax
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+        _pytest.skip("needs 2 devices")
+    from ia_spgemm_tpu.bench import scaling
+    from tests import fixtures
+    a = fixtures.random_csr(96, 96, density=0.08, seed=91)
+    A = CSR.from_scipy(a.astype("float32"))
+    rep = scaling.measure_dist_scaling(A, device_counts=(1, 2), iters=1)
+    assert rep["metric"] == "dist_spgemm_scaling"
+    assert len(rep["points"]) == 2
+    p1, p2 = rep["points"]
+    assert p1["devices"] == 1 and p2["devices"] == 2
+    assert len(p2["per_shard_ms"]) == 2
+    # same result every way it's computed
+    assert p1["nnz_out"] == p2["nnz_out"] == int((a @ a).nnz)
+    assert p1["efficiency_measured_compute"] == 1.0
+    assert 0.0 < p2["efficiency_measured_compute"] <= 1.5
+    # the wire is modeled, reported apart, and nonzero at D=2
+    assert p2["comm_bytes_per_link"] > 0
+    assert p2["comm_ms_modeled_per_device"] >= 0.0
 
 
 def test_profiling_time_op():
