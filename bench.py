@@ -145,9 +145,18 @@ def main():
                     roofline.cost_multiclass(class_rows, int(A.nnz),
                                              int(Cm.nnz)))
 
+    # slab-packed ESC engine (native SlabCSR; the production fallback)
+    from ia_spgemm_tpu.ops import slab as slab_mod
+    scall = slab_mod.plan_slab_csr(A, A)
+    if scall is not None:
+        measure("slab", scall,
+                roofline.cost_esc(scall.plan.padded_slots,
+                                  int(A.nnz), int(A.nnz), int(c_ref.nnz)))
+
     # global-sort ESC (always viable; the fallback every route rests on)
     if not routes or smoke:
-        measure("esc", lambda: esc.spgemm_csr(A, A, esc_plan),
+        measure("esc", lambda: esc.spgemm_csr(A, A, esc_plan,
+                                              engine="global"),
                 roofline.cost_esc(esc_plan.expansion_capacity,
                                   int(A.nnz), int(A.nnz), int(c_ref.nnz)))
 

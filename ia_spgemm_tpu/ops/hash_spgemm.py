@@ -45,7 +45,8 @@ def hash_viable(ka: int, kb: int, ncols: int,
     the same arithmetic spgemm_hash itself performs before launching."""
     H = max(min(_next_pow2(2 * max(ka, 1) * max(kb, 1)),
                 _next_pow2(2 * max(ncols, 1))), 8)
-    t_bytes = tile_rows * H * 8 + 2 * 8 * 2 * _next_pow2(max(kb, 1)) * 4
+    t_bytes = tile_rows * H * 8 \
+        + 2 * 8 * 2 * max(_next_pow2(max(kb, 1)), 128) * 4
     return t_bytes <= SMEM_BUDGET_BYTES
 
 
@@ -201,7 +202,8 @@ def spgemm_hash(A: ELL, B: ELL, *, table_size: int | None = None,
     # upper bound on a row's nnz, padded for load factor
     H = table_size or min(_next_pow2(2 * Ka * Kb), _next_pow2(2 * B.ncols))
     H = max(H, 8)
-    t_bytes = tile_rows * H * 8 + 2 * 8 * 2 * _next_pow2(max(Kb, 1)) * 4
+    t_bytes = tile_rows * H * 8 \
+        + 2 * 8 * 2 * max(_next_pow2(max(Kb, 1)), 128) * 4
     if t_bytes > SMEM_BUDGET_BYTES:
         raise ValueError(
             f"hash tables exceed the SMEM budget ({t_bytes} > "
@@ -211,8 +213,11 @@ def spgemm_hash(A: ELL, B: ELL, *, table_size: int | None = None,
     # B's ELL col/val planes, rows padded to an 8-row DMA-aligned group
     # count (separate same-typed arrays: SMEM loads are scalars, and a
     # bit-packed value plane cannot be reinterpreted f32 in the kernel —
-    # Mosaic's tpu.bitcast is vector-only)
-    kb_pad = max(_next_pow2(max(Kb, 1)), 8)
+    # Mosaic's tpu.bitcast is vector-only). Lanes pad to >=128: the HBM
+    # planes are laid out in (1,128) tiles and current Mosaic rejects
+    # DMA slices narrower than a lane tile ("Slice shape along dimension
+    # 1 must be aligned to tiling (128)", caught by /verify on-chip).
+    kb_pad = max(_next_pow2(max(Kb, 1)), 128)
     k = B.col_ind.shape[0]
     k_pad = -(-k // 8) * 8
     bc = jnp.pad(B.col_ind, ((0, k_pad - k), (0, kb_pad - Kb)),

@@ -64,12 +64,38 @@ def headline_rooflines():
     A = CSR.from_scipy(a.astype(np.float32))
     out = {}
 
+    from ia_spgemm_tpu.ops import slab as slab_mod
     plan = esc.plan_spgemm(A, A)
-    r = profiling.time_op(lambda: esc.spgemm_csr(A, A, plan), iters=5)
-    C = esc.spgemm_csr(A, A, plan)
+    C = esc.spgemm_csr(A, A, plan, engine="global")
     cost = roofline.cost_esc(plan.expansion_capacity, int(A.nnz),
                              int(A.nnz), int(C.nnz))
-    out["esc_csr"] = roofline.analyze(r["median_ms"], cost)
+    # the ESC engine as the harness benches it: slab-packed VMEM sort
+    # when viable (native SlabCSR out, like the other routes' native
+    # formats), global device sort otherwise
+    scall = slab_mod.plan_slab_csr(A, A)
+    if scall is not None:
+        r = profiling.time_op(scall, iters=5)
+        dev = profiling.device_time_ms(scall, chain=8)
+        out["esc_csr"] = roofline.analyze(r["median_ms"], cost)
+        out["esc_csr"]["device_ms"] = dev["device_ms"]
+        out["esc_csr"]["engine"] = "slab"
+        out["esc_csr"]["roofline_device"] = roofline.analyze(
+            dev["device_ms"], cost) if dev["device_ms"] > 0 else None
+        # converter-inclusive: native SlabCSR flattened to exact CSR
+        # (the priced conversion, ~per-element scatter)
+        r2 = profiling.time_op(
+            lambda: slab_mod.slab_to_csr(scall(),
+                                         out_cap=scall.plan.out_cap),
+            iters=3)
+        out["esc_csr_to_flat"] = roofline.analyze(r2["median_ms"], cost)
+    # the forced global-sort engine (A/B baseline for the slab engine;
+    # also the fp64 path)
+    r = profiling.time_op(
+        lambda: esc.spgemm_csr(A, A, plan, engine="global"), iters=5)
+    out["esc_csr_global_sort"] = roofline.analyze(r["median_ms"], cost)
+    if scall is None:
+        out["esc_csr"] = dict(out["esc_csr_global_sort"],
+                              engine="global_sort")
 
     # the PRODUCTION csr path (tiled width-class route when viable) —
     # plan once like the harness does, time the steady-state kernel
@@ -192,18 +218,50 @@ def headline_rooflines():
             if dev["device_ms"] > 0 else None,
         }
 
-    # the global-sort ESC fallback on the same skew workload — the route
-    # the harness would take if the class planner were unavailable
-    # (round-2 hand-measured 245 ms wall; keep it as a real artifact)
-    skew_plan = esc.plan_spgemm(A_skew, A_skew)
-    r = profiling.time_op(
-        lambda: esc.spgemm_csr(A_skew, A_skew, skew_plan), iters=3)
-    dev = profiling.device_time_ms(
-        lambda: esc.spgemm_csr(A_skew, A_skew, skew_plan), chain=2)
+    # the ESC fallback on the same skew workload — the route the harness
+    # takes if the class planner were unavailable: slab engine when its
+    # width cap admits the heavy rows, global sort otherwise
+    from ia_spgemm_tpu.ops import slab as slab_mod
+    skew_call = slab_mod.plan_slab_csr(A_skew, A_skew)
+    if skew_call is not None:
+        run_skew = skew_call
+        eng = "slab"
+    else:
+        skew_plan = esc.plan_spgemm(A_skew, A_skew)
+        run_skew = lambda: esc.spgemm_csr(  # noqa: E731
+            A_skew, A_skew, skew_plan, engine="global")
+        eng = "global_sort"
+    r = profiling.time_op(run_skew, iters=3)
+    dev = profiling.device_time_ms(run_skew, chain=2)
     out["skew_esc_fallback"] = {
         "wall_ms": r["median_ms"], "device_ms": dev["device_ms"],
+        "engine": eng,
         "scipy_ms": scipy_skew_ms,
         "speedup_vs_scipy": scipy_skew_ms / r["median_ms"],
+    }
+
+    # dense_row's winning workload class: SpMM-shaped C = A_sparse @
+    # B_dense (n = 2048). The sparse engines are out of contention (B
+    # densified as sparse explodes E); the honest comparison is the
+    # vendor-baseline role, scipy's CSR @ dense ndarray.
+    b_dense_np = np.asarray(
+        np.random.default_rng(1).standard_normal(
+            (A.ncols, n_dr)), np.float32)
+    a_host = A.to_scipy()
+    _st2 = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        a_host @ b_dense_np
+        _st2.append((_time.perf_counter() - t0) * 1e3)
+    scipy_spmm_ms = float(np.median(_st2))
+    B_dr2 = Dense(values=jnp.asarray(b_dense_np))
+    r = profiling.time_op(
+        lambda: dr_ops.spgemm_dense_row(A_ell, B_dr2), iters=5)
+    out["dense_row_spmm_win"] = {
+        "wall_ms": r["median_ms"],
+        "scipy_csr_at_dense_ms": scipy_spmm_ms,
+        "speedup_vs_scipy": scipy_spmm_ms / r["median_ms"],
+        "n_dense": n_dr,
     }
 
     jax.block_until_ready(C.values)
