@@ -975,7 +975,8 @@ def _expand_sort_compress_kernel_t(g_ref, av_ref, out_col_ref, out_val_ref,
                                    *, ka: int, run: int,
                                    width: int, start_kk: int,
                                    static_strides: bool,
-                                   out_width: int | None):
+                                   out_width: int | None,
+                                   transpose_out: bool = False):
     """Whole pipeline in ONE kernel (expand prologue + sort + compress)
     for widths whose live set fits scoped VMEM. Stages the product pair
     through (width, L) scratch."""
@@ -987,7 +988,7 @@ def _expand_sort_compress_kernel_t(g_ref, av_ref, out_col_ref, out_val_ref,
                            start_kk, static_strides)
     _compress_body_t(k, v, sub, out_col_ref, out_val_ref, nnz_ref,
                      width=width, static_strides=static_strides,
-                     transpose_out=False, out_width=out_width)
+                     transpose_out=transpose_out, out_width=out_width)
 
 
 def _expand_sort_kernel_packed(g_ref, av_ref, out_p_ref,
@@ -1104,20 +1105,34 @@ _FUSED_VMEM_LIMIT = 100 * 1024 * 1024
 # fully unrolled network's live set grows with width (83 MB at 2048)
 # while the dynamic form stays flat (~25% slower stages)
 _COLS_STATIC_MAX_WIDTH = 1024
+# compress kernels write row-major directly (in-VMEM transpose of the
+# routed result) when the CAPPED output width is at most this — kills
+# the two XLA output transposes (a full HBM round trip each); wider
+# outputs keep the transposed write (the in-VMEM (L, out_w) pair
+# overflowed scoped VMEM at 1024 in r2)
+_ROW_MAJOR_OUT_MAX = 512
 
 
 @functools.partial(jax.jit,
                    static_argnames=("width", "run", "ka", "start_kk",
                                     "interpret", "static_strides",
-                                    "out_width", "compact"))
+                                    "out_width", "compact",
+                                    "row_major_out"))
 def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
                                start_kk: int, interpret: bool,
                                static_strides: bool = True,
                                out_width: int | None = None,
-                               compact: bool = True):
+                               compact: bool = True,
+                               row_major_out: bool = False):
     """Cols-layout pipeline fed by the e-major gather (g, avT): fused
     expand+sort (+compress when VMEM allows). Returns row-major
-    (col (m, out_w), val (m, out_w), nnz (m, 1))."""
+    (col (m, out_w), val (m, out_w), nnz (m, 1)).
+
+    row_major_out: the compress kernel transposes its routed result IN
+    VMEM and writes row-major (L, out_w) tiles directly — the two XLA
+    (out_w, m) -> (m, out_w) output transposes (one full HBM round trip
+    each) disappear. Viable when the extra (L, out_w) live pair fits
+    scoped VMEM (callers gate by out_w)."""
     static_strides = static_strides and not interpret
     m = avT.shape[1]
     lanes = g.shape[2]
@@ -1158,23 +1173,32 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
         row_tile = lambda w: pl.BlockSpec(  # noqa: E731
             (L, w), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     if width <= FUSED_MAX_WIDTH and ka_blocks == 1:
+        o_specs = (row_tile(out_w), row_tile(out_w), row_tile(1)) \
+            if row_major_out else (colt(out_w), colt(out_w), row_tile(1))
+        o_shapes = ((jax.ShapeDtypeStruct((m, out_w), jnp.int32),
+                     jax.ShapeDtypeStruct((m, out_w), jnp.float32))
+                    if row_major_out else
+                    (jax.ShapeDtypeStruct((out_w, m), jnp.int32),
+                     jax.ShapeDtypeStruct((out_w, m), jnp.float32)))
         col_t, val_t, nnz = pl.pallas_call(
             functools.partial(_expand_sort_compress_kernel_t, ka=ka,
                               run=run, width=width, start_kk=start_kk,
                               static_strides=static_strides,
-                              out_width=out_w),
+                              out_width=out_w,
+                              transpose_out=row_major_out),
             grid=grid,
             in_specs=[gspec, avspec],
-            out_specs=(colt(out_w), colt(out_w), row_tile(1)),
-            out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
-                       jax.ShapeDtypeStruct((out_w, m), jnp.float32),
-                       jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+            out_specs=o_specs,
+            out_shape=o_shapes
+            + (jax.ShapeDtypeStruct((m, 1), jnp.int32),),
             scratch_shapes=[pltpu.VMEM((width, L), jnp.int32),
                             pltpu.VMEM((width, L), jnp.float32)],
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=_FUSED_VMEM_LIMIT),
             interpret=interpret,
         )(g, avT)
+        if row_major_out:
+            return col_t, val_t, nnz
         return col_t.T, val_t.T, nnz
     k_s, v_s = pl.pallas_call(
         functools.partial(_expand_sort_kernel_t, ka=ka, run=run,
@@ -1192,23 +1216,30 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
     )(g, avT)
     c1 = lambda h: pl.BlockSpec(  # noqa: E731
         (h, L), lambda i: (0, i), memory_space=pltpu.VMEM)
+    r1 = lambda w: pl.BlockSpec(  # noqa: E731
+        (L, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    o_specs = ((r1(out_w), r1(out_w), r1(1)) if row_major_out
+               else (c1(out_w), c1(out_w), r1(1)))
+    o_shapes = ((jax.ShapeDtypeStruct((m, out_w), jnp.int32),
+                 jax.ShapeDtypeStruct((m, out_w), jnp.float32))
+                if row_major_out else
+                (jax.ShapeDtypeStruct((out_w, m), jnp.int32),
+                 jax.ShapeDtypeStruct((out_w, m), jnp.float32)))
     col_t, val_t, nnz = pl.pallas_call(
         functools.partial(_compress_kernel_t, width=width,
                           static_strides=static_strides,
-                          transpose_out=False, out_width=out_w,
+                          transpose_out=row_major_out, out_width=out_w,
                           compact=compact),
         grid=(pl.cdiv(m, L),),
         in_specs=[c1(width), c1(width)],
-        out_specs=(c1(out_w), c1(out_w),
-                   pl.BlockSpec((L, 1), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((out_w, m), jnp.int32),
-                   jax.ShapeDtypeStruct((out_w, m), jnp.float32),
-                   jax.ShapeDtypeStruct((m, 1), jnp.int32)),
+        out_specs=o_specs,
+        out_shape=o_shapes + (jax.ShapeDtypeStruct((m, 1), jnp.int32),),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=interpret,
     )(k_s, v_s)
+    if row_major_out:
+        return col_t, val_t, nnz
     return col_t.T, val_t.T, nnz
 
 
@@ -1488,7 +1519,8 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                     col_c, val_c, nnz_c = _sort_compress_from_gather(
                         g, avT, width=w, run=run, ka=F_c,
                         start_kk=start_kk, interpret=interpret,
-                        static_strides=static, out_width=out_c)
+                        static_strides=static, out_width=out_c,
+                        row_major_out=out_c <= _ROW_MAJOR_OUT_MAX)
                 else:
                     # wide classes exceed cols-layout scoped VMEM (120 MB
                     # at 16384); these classes hold few rows, so the
@@ -1540,7 +1572,8 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                     col_c, val_c, nnz_c = _sort_compress_from_gather(
                         g, av_e.T, width=w, run=run, ka=ka_e,
                         start_kk=start_kk, interpret=interpret,
-                        static_strides=static, out_width=out_c)
+                        static_strides=static, out_width=out_c,
+                        row_major_out=out_c <= _ROW_MAJOR_OUT_MAX)
                 elif w <= TRANSPOSED_MAX_WIDTH:
                     key, val = _expand_ell(ac, av, b_col, b_val, width=w,
                                            run=run, transpose_out=True,

@@ -104,8 +104,27 @@ def main():
     if call is not None:
         report("mc_ell", call, plan_s)
 
+    # run_override=32: 128-useful-lane table rows gather ~2.7x faster
+    # (tablegather_probe preT r32 0.62 vs r16 1.68 ms) at the cost of
+    # wider fragment padding — measured head-to-head here
+    t0 = time.perf_counter()
+    call = bitonic.multiclass_planned(A_ell, A_ell, assemble="bcsr",
+                                      out_width=out_w, run_override=32)
+    plan_s = time.perf_counter() - t0
+    if call is not None:
+        report("mc_bcsr_r32", call, plan_s)
+
+    # slab-packed ESC engine (native SlabCSR)
+    from ia_spgemm_tpu.ops import slab as slab_mod
+    t0 = time.perf_counter()
+    scall = slab_mod.plan_slab_csr(A, A)
+    plan_s = time.perf_counter() - t0
+    if scall is not None:
+        report("slab", scall, plan_s)
+
     esc_plan = esc.plan_spgemm(A, A)
-    report("esc", lambda: esc.spgemm_csr(A, A, esc_plan))
+    report("esc", lambda: esc.spgemm_csr(A, A, esc_plan,
+                                         engine="global"))
 
     # persist per-fused-width so scripts/pick_bench_tuning.py can distill
     # the winning (route, fused width) into reports/bench_tuning.json
