@@ -158,8 +158,44 @@ def csr_to_ell(A: CSR, width: int | None = None,
     else:
         col, val, nnz_row = _csr_to_ell_fill(A.row_ptr, A.col_ind, A.values,
                                              A.nnz, width=K, nrows=A.nrows)
-    return ELL(col_ind=col, values=val, nnz_row=nnz_row, nnz=A.nnz,
-               shape=A.shape)
+    out = ELL(col_ind=col, values=val, nnz_row=nnz_row, nnz=A.nnz,
+              shape=A.shape)
+    # lazy host views: when A's host CSR arrays are already cached
+    # (readers/from_scipy register them), the ELL grids can be DERIVED
+    # on the host instead of pulled back through the device link — the
+    # planners' np pulls of (m, K) grids measured ~15 s on the skew
+    # headline over the dev tunnel (NOTES round-4). Thunks cost nothing
+    # unless a planner actually asks.
+    from ia_spgemm_tpu.utils import hostcache
+    rp_h = hostcache.peek(A.row_ptr)
+    ci_h = hostcache.peek(A.col_ind)
+    vv_h = hostcache.peek(A.values)
+    if rp_h is not None and ci_h is not None:
+        m = A.nrows
+        Kc = K
+
+        def _grid(fill, src, dtype):
+            # width >= max row length is a csr_to_ell invariant, so the
+            # left-justified fill is exactly the CSR entry stream
+            def thunk():
+                rl = np.diff(rp_h.astype(np.int64))
+                total = int(rl.sum())
+                g = np.full((m, Kc), fill, dtype)
+                rows = np.repeat(np.arange(m), rl)
+                slots = np.arange(total) \
+                    - np.repeat(rp_h[:-1].astype(np.int64), rl)
+                g[rows, slots] = src[:total]
+                return g
+            return thunk
+
+        hostcache.register(out.col_ind, _grid(-1, ci_h, np.int32))
+        if vv_h is not None:
+            hostcache.register(
+                out.values, _grid(0, vv_h, vv_h.dtype))
+        hostcache.register(
+            out.nnz_row,
+            lambda: np.diff(rp_h.astype(np.int64)).astype(np.int32))
+    return out
 
 
 def compact_ell(A: ELL) -> ELL:

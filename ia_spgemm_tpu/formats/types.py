@@ -69,9 +69,17 @@ class CSR:
     @classmethod
     def from_arrays(cls, row_ptr, col_ind, values, shape: Shape2,
                     nnz=None) -> "CSR":
+        from ia_spgemm_tpu.utils import hostcache
+        srcs = (row_ptr, col_ind, values)
         row_ptr = jnp.asarray(row_ptr, dtype=jnp.int32)
         col_ind = jnp.asarray(col_ind, dtype=jnp.int32)
         values = jnp.asarray(values)
+        # numpy sources ARE the host views — pin them so the planners
+        # never pull these bytes back through the device link
+        for dev, src in zip((row_ptr, col_ind, values), srcs):
+            if isinstance(src, np.ndarray):
+                hostcache.register(dev, src.astype(
+                    dev.dtype, copy=False))
         if nnz is None:
             nnz = row_ptr[-1]
         return cls(row_ptr=row_ptr, col_ind=col_ind, values=values,
@@ -80,6 +88,7 @@ class CSR:
     @classmethod
     def from_scipy(cls, mat, capacity: int | None = None) -> "CSR":
         """Build from a scipy.sparse matrix (the test oracle's type)."""
+        from ia_spgemm_tpu.utils import hostcache
         m = mat.tocsr()
         m.sum_duplicates()
         nnz = int(m.nnz)
@@ -88,10 +97,15 @@ class CSR:
         val = np.zeros(cap, dtype=m.data.dtype)
         col[:nnz] = m.indices
         val[:nnz] = m.data
-        return cls(row_ptr=jnp.asarray(m.indptr, dtype=jnp.int32),
-                   col_ind=jnp.asarray(col),
-                   values=jnp.asarray(val),
-                   nnz=_as_nnz(nnz), shape=tuple(m.shape))
+        rp = np.asarray(m.indptr, np.int32)
+        out = cls(row_ptr=jnp.asarray(rp),
+                  col_ind=jnp.asarray(col),
+                  values=jnp.asarray(val),
+                  nnz=_as_nnz(nnz), shape=tuple(m.shape))
+        hostcache.register(out.row_ptr, rp)
+        hostcache.register(out.col_ind, col)
+        hostcache.register(out.values, val)
+        return out
 
     def values_f64(self) -> np.ndarray:
         """Stored values as HOST float64. For compensated results this is

@@ -1372,7 +1372,7 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
     use_dev = a_col_dev is not None and b_len_dev is not None
     ragged_ok = (use_dev or (a_col_h is not None and b_len_h is not None)) \
         and layout != "chunked"
-    ce = (_compact_entries(a_col_h, b_len_h)
+    ce = (_compact_entries(a_col_h, b_len_h, a_len_h=lens)
           if not use_dev and ragged_ok else None)
 
     def feasible(W):
@@ -1855,18 +1855,28 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     m = A.nrows
-    lens = np.asarray(A.nnz_row, dtype=np.int64)
+    from ia_spgemm_tpu.utils import hostcache
+    lens = hostcache.host_view(A.nnz_row).astype(np.int64)
     f32 = (A.values.dtype == jnp.float32
            and B.values.dtype == jnp.float32)
+    # candidate probing: pure host when A's column grid is already
+    # host-cached (readers/conversions register views — no D2H), else
+    # one batched device dispatch (_frag_rows_dev_multi)
+    a_col_h0 = hostcache.peek(A.col_ind)
+    b_len_h0 = hostcache.peek(B.nnz_row)
+    use_host_probe = a_col_h0 is not None and b_len_h0 is not None
     plan, W = plan_multiclass(
         lens, B.max_nnz_per_row, max_classes=max_classes,
-        a_col_dev=A.col_ind if f32 else None,
-        b_len_dev=B.nnz_row if f32 else None, layout=layout,
+        a_col_h=a_col_h0 if use_host_probe else None,
+        b_len_h=b_len_h0.astype(np.int64) if use_host_probe else None,
+        a_col_dev=A.col_ind if f32 and not use_host_probe else None,
+        b_len_dev=B.nnz_row if f32 and not use_host_probe else None,
+        layout=layout,
         run_override=run_override)
     # ragged planning needs only B's (m,) row lengths on the host; the
     # nnz-sized fragment matrices build on device (plan_device, default)
     # or via _host_fragments (the numpy cross-check oracle)
-    b_len_h = (np.asarray(B.nnz_row).astype(np.int64)
+    b_len_h = (hostcache.host_view(B.nnz_row).astype(np.int64)
                if f32 and plan.ragged else None)
     if not plan.viable:
         return None  # caller falls back to ESC
@@ -1970,11 +1980,12 @@ def _host_fragments(A, b_len_h, widths, run, startp, F_B,
     both are free at plan time because A's values and the fragment map
     are already known on the host. Dead fragment slots carry av=0 (the
     kernel masks by sentinel col anyway)."""
-    a_col_h = np.asarray(A.col_ind)
+    from ia_spgemm_tpu.utils import hostcache
+    a_col_h = hostcache.host_view(A.col_ind)
     m = a_col_h.shape[0]
     e_live, j_live, len_live, rows_live, row_ptr = \
         _compact_entries(a_col_h, b_len_h,
-                         a_len_h=np.asarray(A.nnz_row))
+                         a_len_h=hostcache.host_view(A.nnz_row))
     frag_live, F_rows = _frag_totals(len_live, row_ptr, run)
 
     # global fragment stream over the LIVE A entries (nnz-scaled,
@@ -2021,7 +2032,7 @@ def _host_fragments(A, b_len_h, widths, run, startp, F_B,
     M_flat = np.full(base, F_B, np.int32)
     AV_flat = np.zeros(base, np.float32)
     M_flat[tgt] = mval_f
-    a_val_h = np.asarray(A.values)
+    a_val_h = hostcache.host_view(A.values)
     AV_flat[tgt] = a_val_h[rows_f, e_f]
     mts = [jnp.asarray(np.ascontiguousarray(
         M_flat[bases[c]:bases[c + 1]]

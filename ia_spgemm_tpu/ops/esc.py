@@ -494,20 +494,24 @@ def _spgemm_csr_sliced(A: CSR, B: CSR, plan: SpGEMMPlan) -> CSR:
 
 
 def spgemm_csr(A: CSR, B: CSR, plan: SpGEMMPlan | None = None,
-               engine: str = "auto") -> CSR:
+               engine: str = "global") -> CSR:
     """C = A @ B with both operands CSR. The TPU analogue of the reference's
     CSR_MUL_CSR (csr/common_csr.h:85-193). Expansions beyond the workspace
     run the sliced path (see plan_spgemm/_spgemm_csr_sliced).
 
-    engine="auto" (default): the slab-packed VMEM engine (ops/slab.py)
-    when viable — same ESC strategy, the sort stays inside VMEM tiles
-    instead of the ~25x-off-bandwidth global device sort; identity-keyed
-    plan caching makes repeat calls O(dict lookup). engine="global"
-    forces the global-sort/sliced path (the fp64 golden-summation-order
-    oracle, and the A/B baseline for the slab engine)."""
+    engine="global" (default): the global-sort/sliced path — the only
+    engine whose EXACT-CSR output is cheap (also the fp64 golden-
+    summation-order oracle). engine="slab": the slab-packed VMEM engine
+    (ops/slab.py) flattened through slab_to_csr — measured ~17x faster
+    to the native SlabCSR (12.5 vs 212 ms device on the headline,
+    reports/headline_rooflines.json) but the flattening scatter reads
+    the whole padded grid (~600 ms there), so exact-CSR callers should
+    prefer engine='global' while SlabCSR-capable consumers (harness,
+    acceptance, checksum/to_scipy users) call spgemm_csr_slab and keep
+    the native output."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
-    if engine == "auto":
+    if engine == "slab":
         from ia_spgemm_tpu.ops import slab as slab_mod
         call = slab_mod.plan_slab_csr(A, B)
         if call is not None:

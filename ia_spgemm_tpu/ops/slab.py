@@ -329,10 +329,11 @@ def _plan_slab_csr_uncached(A: CSR, B: CSR, *, width: int | None = None,
     nnzA = int(A.nnz)
     if nnzA == 0 or int(B.nnz) == 0:
         return None  # trivial problems stay on the general engine
-    a_rp = np.asarray(A.row_ptr).astype(np.int64)
-    a_col = np.asarray(A.col_ind)[:nnzA].astype(np.int64)
-    a_val = np.asarray(A.values)[:nnzA].astype(np.float32)
-    b_len = np.diff(np.asarray(B.row_ptr)).astype(np.int64)
+    from ia_spgemm_tpu.utils import hostcache
+    a_rp = hostcache.host_view(A.row_ptr).astype(np.int64)
+    a_col = hostcache.host_view(A.col_ind)[:nnzA].astype(np.int64)
+    a_val = hostcache.host_view(A.values)[:nnzA].astype(np.float32)
+    b_len = np.diff(hostcache.host_view(B.row_ptr)).astype(np.int64)
 
     e_len = b_len[np.clip(a_col, 0, B.nrows - 1)]
     frag_e = -(-e_len // run)                       # 0 for empty B rows

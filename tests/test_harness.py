@@ -236,15 +236,15 @@ def test_serve_route_skips_when_unviable():
 
 
 def test_esc_slab_engine_routes():
-    """spgemm_csr engine='auto' routes f32 problems through the slab
-    engine (ops/slab.py) and engine='global' forces the global sort;
-    both match the oracle."""
+    """spgemm_csr engine='slab' routes f32 problems through the slab
+    engine (ops/slab.py) + flattener and engine='global' (the default)
+    keeps the global sort; both match the oracle."""
     from ia_spgemm_tpu.ops import esc, slab
     a = fixtures.random_csr(128, 128, density=0.06, seed=79)
     A = CSR.from_scipy(a.astype("float32"))
     assert slab.plan_slab_csr(A, A) is not None
     want = (a @ a).tocsr()
-    for engine in ("auto", "global"):
+    for engine in ("slab", "global"):
         C = esc.spgemm_csr(A, A, engine=engine)
         d = abs(C.to_scipy().astype("float64") - want)
         assert (d.max() if d.nnz else 0.0) < 1e-4
