@@ -41,7 +41,7 @@ from ia_spgemm_tpu.ops import ell as ell_ops
 from ia_spgemm_tpu.ops import esc
 from ia_spgemm_tpu.ops.flops import get_flop
 
-ALGORITHMS = ("baseline", "csr", "dia", "ell", "coo")
+ALGORITHMS = ("baseline", "csr", "dia", "ell", "coo")  # reference menu
 
 # serve-lane checksum gate: bf16-rounded products carry <= 2^-9 relative
 # error each (f32 accumulation); the route's verified_sum is compared at
