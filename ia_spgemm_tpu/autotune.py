@@ -141,8 +141,14 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
             return _as_csr(C), sel
         algo = "csr"
     if algo == "esc":
-        # forced global-sort ESC (the strategy-distinct class name); a
-        # workspace-overflow ValueError falls back like any rejected pick
+        # the ESC-engine class. spgemm_auto's contract is exact flat
+        # CSR, and to a FLAT result the global sort is the faster
+        # engine (the slab engine's native SlabCSR is 17x quicker but
+        # its flattening scatter costs more than the whole global sort
+        # — see esc.spgemm_csr engine docs); SlabCSR-capable consumers
+        # should call ops.slab.spgemm_csr_slab directly. A
+        # workspace-overflow ValueError falls back like any rejected
+        # pick.
         try:
             return esc.spgemm_csr(A, B, esc.plan_spgemm(A, B)), sel
         except ValueError:
