@@ -269,6 +269,9 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         # 'csr' stays the production auto route.
         from ia_spgemm_tpu.ops import slab as slab_mod
         scall = slab_mod.plan_slab_csr(A, B)
+        if scall is None:
+            # heavy rows past the slab cap: slab + global-sort residual
+            scall = slab_mod.plan_slab_hybrid(A, B)
         plan = None if scall is not None else \
             esc.plan_spgemm(A, B, bucket=config.bucket_capacities)
         convert_fn = None

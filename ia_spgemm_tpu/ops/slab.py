@@ -493,3 +493,96 @@ def spgemm_csr_slab(A: CSR, B: CSR, *, width: int | None = None,
     not viable."""
     call = plan_slab_csr(A, B, width=width, run=run, interpret=interpret)
     return call() if call is not None else None
+
+
+@dataclasses.dataclass
+class HybridCSR:
+    """Disjoint-row composition of a SlabCSR (light rows) and a CSR
+    (heavy-row residual) — the slab/global hybrid's native output.
+    Exact: the parts cover disjoint row sets."""
+    light: SlabCSR
+    heavy: "CSR"
+    shape: tuple
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self):
+        return self.light.nnz + self.heavy.nnz
+
+    def checksum(self):
+        return self.light.checksum() + self.heavy.checksum()
+
+    def to_scipy(self):
+        return (self.light.to_scipy() + self.heavy.to_scipy()).tocsr()
+
+
+def plan_slab_hybrid(A: CSR, B: CSR, *,
+                     interpret: bool | None = None):
+    """Slab engine for the rows it admits + the global-sort engine for
+    the heavy residual (rows whose padded products exceed the slab
+    width cap) — the ESC fallback that stays fast on skewed inputs.
+
+    The reference's sliced ESC partitions rows by workspace
+    (coo_dev/common_coo_dev.h:388-421); this partitions by VMEM sort
+    width: on the measured skew workload 99.7% of rows (and ~40% of E)
+    ride the slab engine while the ~0.3% heavy rows take the global
+    sort at a fraction of the full problem's expansion. Returns a
+    zero-arg runner producing HybridCSR, or None when A has no heavy
+    rows (plain plan_slab_csr applies) or the light part is inviable."""
+    from ia_spgemm_tpu.ops import esc as esc_mod
+    from ia_spgemm_tpu.utils import hostcache
+    if (A.values.dtype != jnp.float32 or B.values.dtype != jnp.float32):
+        return None
+    nnzA = int(A.nnz)
+    if nnzA == 0:
+        return None
+    run = DEFAULT_RUN
+    a_rp = hostcache.host_view(A.row_ptr).astype(np.int64)
+    a_col = hostcache.host_view(A.col_ind)[:nnzA].astype(np.int64)
+    a_val = hostcache.host_view(A.values)[:nnzA]
+    b_len = np.diff(hostcache.host_view(B.row_ptr)).astype(np.int64)
+    e_len = b_len[np.clip(a_col, 0, B.nrows - 1)]
+    frag_e = -(-e_len // run)
+    ecs = np.concatenate([[0], np.cumsum(frag_e)])
+    prf = (ecs[a_rp[1:]] - ecs[a_rp[:-1]]) * run
+    heavy = prf > SLAB_MAX_WIDTH
+    n_heavy = int(heavy.sum())
+    if n_heavy == 0 or n_heavy == A.nrows:
+        return None
+
+    def split(mask):
+        rl = np.diff(a_rp) * mask
+        rp = np.concatenate([[0], np.cumsum(rl)]).astype(np.int64)
+        keep = np.repeat(mask, np.diff(a_rp))
+        total = int(rp[-1])
+        col = np.full(max(total, 1), A.ncols, np.int32)
+        val = np.zeros(max(total, 1), a_val.dtype)
+        col[:total] = a_col[keep]
+        val[:total] = a_val[keep]
+        return CSR.from_arrays(rp.astype(np.int32), col, val,
+                               A.shape, nnz=total)
+
+    A_light = split(~heavy)
+    A_heavy = split(heavy)
+    light_call = plan_slab_csr(A_light, B, interpret=interpret)
+    if light_call is None:
+        return None
+    heavy_plan = esc_mod.plan_spgemm(A_heavy, B)
+    shape = (A.nrows, B.ncols)
+
+    def call() -> HybridCSR:
+        return HybridCSR(
+            light=light_call(),
+            heavy=esc_mod.spgemm_csr(A_heavy, B, heavy_plan,
+                                     engine="global"),
+            shape=shape)
+
+    call.n_heavy = n_heavy
+    return call

@@ -227,10 +227,17 @@ def headline_rooflines():
         run_skew = skew_call
         eng = "slab"
     else:
-        skew_plan = esc.plan_spgemm(A_skew, A_skew)
-        run_skew = lambda: esc.spgemm_csr(  # noqa: E731
-            A_skew, A_skew, skew_plan, engine="global")
-        eng = "global_sort"
+        # heavy rows past the slab cap: slab for the light 99.7%,
+        # global sort for the residual
+        skew_call = slab_mod.plan_slab_hybrid(A_skew, A_skew)
+        if skew_call is not None:
+            run_skew = skew_call
+            eng = f"slab+global_hybrid({skew_call.n_heavy} heavy rows)"
+        else:
+            skew_plan = esc.plan_spgemm(A_skew, A_skew)
+            run_skew = lambda: esc.spgemm_csr(  # noqa: E731
+                A_skew, A_skew, skew_plan, engine="global")
+            eng = "global_sort"
     r = profiling.time_op(run_skew, iters=3)
     dev = profiling.device_time_ms(run_skew, chain=2)
     out["skew_esc_fallback"] = {

@@ -109,6 +109,38 @@ def test_slab_to_csr_converter():
     assert np.asarray(C.row_ptr)[-1] == nnzc
 
 
+def test_slab_hybrid_skewed():
+    """Heavy rows past the slab width cap take the global-sort residual;
+    light rows ride the slab engine; the disjoint-row composition is
+    exact."""
+    rng = np.random.default_rng(8)
+    m = 256
+    lens = np.where(rng.random(m) < 0.03, 60, rng.integers(1, 4, m))
+    rows = np.repeat(np.arange(m), lens)
+    cols = rng.integers(0, m, rows.shape[0])
+    a = sp.coo_matrix((rng.standard_normal(rows.shape[0]),
+                       (rows, cols)), shape=(m, m)).tocsr()
+    a.sum_duplicates()
+    # make B rows long enough that heavy-row padded products blow the cap
+    b = (a + sp.diags(np.ones(m))).tocsr()
+    A = CSR.from_scipy(a.astype(np.float32))
+    B = CSR.from_scipy(b.astype(np.float32))
+    call = slab.plan_slab_hybrid(A, B)
+    if call is None:
+        import pytest as _pytest
+        _pytest.skip("fixture produced no heavy rows on this backend")
+    C = call()
+    assert call.n_heavy > 0
+    want = (a.astype(np.float64) @ b.astype(np.float64)).tocsr()
+    want.sum_duplicates()
+    want.eliminate_zeros()
+    got = C.to_scipy().astype(np.float64)
+    got.eliminate_zeros()
+    d = abs(got - want)
+    assert (d.max() if d.nnz else 0.0) / max(1.0, abs(want).max()) < 1e-5
+    assert int(np.asarray(C.nnz)) == want.nnz
+
+
 def test_slab_f64_not_viable():
     a = fixtures.random_csr(32, 32, density=0.1, seed=1)
     A = CSR.from_scipy(a.astype(np.float64))
