@@ -283,8 +283,10 @@ class BlockCSR:
     Row i's entries occupy whole 128-lane blocks [blk_ptr[i],
     blk_ptr[i+1]) of the (capacity_blocks, 128) block arrays; the first
     nnz_row[i] slots are valid (ascending columns), the remainder of the
-    last block is padded col == -1 / value == 0. Blocks past
-    blk_ptr[nrows] are all-padding.
+    span is padded col == -1 / value == 0 (a row's span may exceed
+    ceil(nnz/128) blocks — producers may fix spans at plan time, e.g.
+    per width class, so the assembly gather map is a constant). Blocks
+    past blk_ptr[nrows] are all-padding.
 
     Rationale: an exact CSR's rows start at arbitrary nnz offsets, which
     on TPU means misaligned element scatters (~10 ns/element on v5e) or

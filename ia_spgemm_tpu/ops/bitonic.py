@@ -1481,7 +1481,7 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
         table = rest[-1]
         rest = rest[:-1]
         if assemble == "bcsr":
-            src_start, oc_row = rest[-2], rest[-1]
+            src_full, blk_ptr = rest[-2], rest[-1]
             rest = rest[:-2]
         idxs = rest[:len(widths)]
         if ragged and devplan:
@@ -1597,10 +1597,14 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
             cols_p.append(col_c)
             vals_p.append(val_c)
             nnz_p.append(nnz_c)
+        if assemble == "raw":
+            # probe mode: per-class compact outputs with no assembly —
+            # isolates the assembly+glue cost on-chip (x_asm_probe)
+            return tuple(cols_p), tuple(vals_p), tuple(nnz_p)
         if assemble == "bcsr":
             ocs = tuple(c.shape[1] for c in cols_p)
             return _assemble_bcsr(cols_p, vals_p, nnz_p, idxs,
-                                  src_start, oc_row, m=m,
+                                  src_full, blk_ptr, m=m,
                                   counts=counts, ocs=ocs)
         # assemble per class with drop-mode row scatters at EACH CLASS'S
         # OWN width (padding the updates to out_w materialized multi-GB
@@ -1616,7 +1620,7 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
             # clamp to the stored width: with a caller out_width cap a
             # row's survivor count can exceed its slots, and an unclamped
             # nnz_row would make ell_to_csr read pad slots (the bcsr
-            # assembly already clamps via oc_row)
+            # assembly already clamps via its class ocs)
             nnz = nnz.at[idxs[c]].set(
                 jnp.minimum(nnz_p[c][:, 0], oc), mode="drop")
         return col, val, nnz
@@ -1624,48 +1628,39 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
     return jax.jit(f)
 
 
-def _assemble_bcsr(cols_p, vals_p, nnz_p, idxs, src_start, oc_row,
+def _assemble_bcsr(cols_p, vals_p, nnz_p, idxs, src_full, blk_ptr,
                    *, m: int, counts: tuple, ocs: tuple):
-    """Gather the per-class compact outputs into 128-aligned BlockCSR.
+    """Gather the per-class compact outputs into 128-aligned BlockCSR
+    with PLAN-CONSTANT block spans: row r owns ocs[class(r)]/128 blocks
+    (0 when r has no products), so blk_ptr and the source-block
+    permutation src_full are host constants baked at plan time.
 
-    All heavy traffic is bandwidth-shaped: the per-class buffers reshape
-    (free) into (*, 128) block tables, and the output is ONE flat
-    row-gather of ceil(nnz_i/128) blocks per row (>=128-lane row gathers
-    run at HBM bandwidth on v5e; the ELL assembly instead scattered into
-    an (m, max_class_width) buffer — (m x 8192)-sized for the measured
-    skew workload whose mean output row is ~260 wide). The block->row map
-    costs one m-element scatter + one cumsum (~0.1-0.4 ns/element).
+    The round-3 assembly compacted each row to ceil(nnz_r/128) blocks,
+    which made the gather map data-dependent: a device cumsum over the
+    source-block grid, a scatter-delta block->row map, and a dynamic
+    sentinel mask — measured 3.8 ms of the 10.2 ms headline e2e
+    (reports/asm_probe.json) against a ~1 ms bandwidth floor. Fixing the
+    span per class trades <=2x block traffic (class width vs true nnz)
+    for a pure constant-index row-gather at HBM bandwidth — and the
+    extra blocks are already clean (-1 cols / 0 vals) because the
+    compress kernels pad their outputs, so every BlockCSR consumer
+    (checksum / to_scipy / bcsr_to_csr) masks them for free.
 
-    src_start[r] (host-built at plan time): first source block of row r
-    inside the concatenated class tables; oc_row[r]: row r's class output
-    width (clamps nnz when an explicit out_width cap dropped entries).
+    src_full[b] (host, plan time): source block inside the concatenated
+    class tables for output block b; blk_ptr: the constant block spans.
     """
     nblk = [counts[c] * ocs[c] // 128 for c in range(len(counts))]
-    nb_src = sum(nblk)
     nnz = jnp.zeros((m,), jnp.int32)
     for c in range(len(cols_p)):
-        nnz = nnz.at[idxs[c]].set(nnz_p[c][:, 0], mode="drop")
-    nnz = jnp.minimum(nnz, oc_row)
-    bpr = (nnz + 127) // 128
-    blk_ptr = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(bpr, dtype=jnp.int32)])
-    total = blk_ptr[-1]
-    # block b's row = #rows whose span ended at or before b (scatter-delta
-    # + cumsum; empty rows collapse via .add). Blocks >= total map to m.
-    marks = jnp.zeros((nb_src + 1,), jnp.int32
-                      ).at[blk_ptr[1:]].add(1, mode="drop")
-    row_of = jnp.cumsum(marks[:nb_src], dtype=jnp.int32)
-    barange = jax.lax.iota(jnp.int32, nb_src)
-    ss = jnp.concatenate([src_start, jnp.zeros((1,), jnp.int32)])
-    src = ss[row_of] + (barange - blk_ptr[row_of])
-    src = jnp.where(barange < total, src, nb_src)  # sentinel block
+        nnz = nnz.at[idxs[c]].set(
+            jnp.minimum(nnz_p[c][:, 0], ocs[c]), mode="drop")
     col_src = jnp.concatenate(
-        [cols_p[c].reshape(nblk[c], 128) for c in range(len(cols_p))]
-        + [jnp.full((1, 128), -1, jnp.int32)], axis=0)
+        [cols_p[c].reshape(nblk[c], 128) for c in range(len(cols_p))],
+        axis=0)
     val_src = jnp.concatenate(
-        [vals_p[c].reshape(nblk[c], 128) for c in range(len(vals_p))]
-        + [jnp.zeros((1, 128), vals_p[0].dtype)], axis=0)
-    return blk_ptr, col_src[src], val_src[src], nnz
+        [vals_p[c].reshape(nblk[c], 128) for c in range(len(vals_p))],
+        axis=0)
+    return blk_ptr, col_src[src_full], val_src[src_full], nnz
 
 
 def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
@@ -1850,7 +1845,7 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
                                plan_device: bool = False,
                                layout: str | None = None,
                                run_override: int | None = None):
-    if assemble not in ("ell", "bcsr"):
+    if assemble not in ("ell", "bcsr", "raw"):
         raise ValueError(f"unknown assemble mode {assemble!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -2050,17 +2045,29 @@ def _finish_build(A, B, fn, assemble, widths, counts, idx_h, pos,
     """Shared tail of _multiclass_build: bcsr assembly maps (host,
     m-sized), arg packing, and the zero-argument runner."""
     if assemble == "bcsr":
+        # plan-constant padded spans: row r owns bpr[r] = ocs[class]/128
+        # blocks (0 when r cannot produce output — empty A row), so both
+        # blk_ptr and the block-source permutation are host constants
+        # and the device assembly is one constant-index block gather
         ocs = [min(out_w, int(w)) for w in widths]
         nblk = [counts[c] * ocs[c] // 128 for c in range(len(widths))]
         base = np.concatenate([[0], np.cumsum(nblk)])
+        from ia_spgemm_tpu.utils import hostcache
+        lens_h = hostcache.host_view(A.nnz_row).astype(np.int64)
         src_start_h = np.zeros(m, np.int64)
-        oc_row_h = np.full(m, 128, np.int64)
+        bpr_h = np.zeros(m, np.int64)
         for c in range(len(widths)):
             src_start_h[idx_h[c]] = base[c] + np.arange(
                 len(idx_h[c]), dtype=np.int64) * (ocs[c] // 128)
-            oc_row_h[idx_h[c]] = ocs[c]
-        extra = extra + [jnp.asarray(src_start_h.astype(np.int32)),
-                         jnp.asarray(oc_row_h.astype(np.int32))]
+            bpr_h[idx_h[c]] = ocs[c] // 128
+        bpr_h[lens_h == 0] = 0
+        blk_ptr_h = np.concatenate([[0], np.cumsum(bpr_h)])
+        nb_out = int(blk_ptr_h[-1])
+        src_full_h = np.repeat(src_start_h, bpr_h) \
+            + (np.arange(nb_out, dtype=np.int64)
+               - np.repeat(blk_ptr_h[:-1], bpr_h))
+        extra = extra + [jnp.asarray(src_full_h.astype(np.int32)),
+                         jnp.asarray(blk_ptr_h.astype(np.int32))]
     extra = extra + [table]
     pos_d = jnp.asarray(pos.astype(np.int32))
     shape = (A.nrows, B.ncols)
@@ -2068,6 +2075,8 @@ def _finish_build(A, B, fn, assemble, widths, counts, idx_h, pos,
     def call():
         out = fn(A.col_ind, A.values, B.col_ind, B.values,
                  pos_d, *idxs, *extra)
+        if assemble == "raw":
+            return out
         if assemble == "bcsr":
             blk_ptr, colb, valb, nnz_row = out
             return BlockCSR(blk_ptr=blk_ptr, col_blocks=colb,

@@ -348,11 +348,13 @@ def test_multiclass_bcsr_matches_oracle():
     E = bitonic.spgemm_bitonic_multiclass(A, A)
     assert np.array_equal(np.asarray(C.nnz_row), np.asarray(E.nnz_row))
     assert np.isclose(float(C.checksum()), float(E.checksum()), rtol=1e-5)
-    # block invariants: blk_ptr spans = ceil(nnz/128); used blocks pad
-    # with col == -1 / val == 0 beyond each row's nnz
+    # block invariants: each row's span covers its nnz (spans are fixed
+    # per width class at plan time, so they may exceed ceil(nnz/128));
+    # used blocks pad with col == -1 / val == 0 beyond each row's nnz
     bp = np.asarray(C.blk_ptr)
     nnz = np.asarray(C.nnz_row)
-    assert np.array_equal(bp[1:] - bp[:-1], -(-nnz // 128))
+    assert ((bp[1:] - bp[:-1]) >= -(-nnz // 128)).all()
+    assert (bp[1:] >= bp[:-1]).all()
     colb = np.asarray(C.col_blocks)
     valb = np.asarray(C.val_blocks)
     for r in range(C.nrows):
