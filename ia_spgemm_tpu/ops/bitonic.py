@@ -62,6 +62,9 @@ MAX_WIDTH = 16384
 STATIC_STRIDE_MAX_WIDTH = 4096
 # product-buffer budget: m * Wp * 8 bytes (key + value)
 PRODUCT_BUDGET_BYTES = 4 << 30
+# plan-materialized gather (multiclass_planned(pregather=True)): cap the
+# per-plan HBM spent on holding g = table[MT] between calls
+PREGATHER_BUDGET_BYTES = 2 << 30
 
 # Calibrated steady-state cost model for the multiclass planner
 # (measured on the r2 headline, v5e: expand gather+write achieved
@@ -1458,7 +1461,8 @@ def plan_multiclass(row_lens, kb: int, *, max_classes: int = 4,
 def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                    chunks: int, out_w: int, m: int, interpret: bool,
                    val_dtype, ragged: bool = False, cm: int = 1,
-                   assemble: str = "ell", devplan: bool = False):
+                   assemble: str = "ell", devplan: bool = False,
+                   pregather: bool = False):
     """Build + jit the whole multi-class pipeline ONCE per static
     signature: one dispatch runs every class's expand + kernels and
     reassembles rows (the round-1 bucketed path paid one dispatch and one
@@ -1514,8 +1518,11 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                     MT_c, avT = mts[c], avts[c]
                     M_c, av_f = None, None
                 if w <= TRANSPOSED_MAX_WIDTH:
-                    g = table[MT_c.reshape(-1)].reshape(
-                        F_c, counts[c], lanes)
+                    # pregather: mts[c] is already the plan-materialized
+                    # (F_c, n_pad, lanes) gather result (see
+                    # _multiclass_build_uncached)
+                    g = MT_c if pregather else table[
+                        MT_c.reshape(-1)].reshape(F_c, counts[c], lanes)
                     col_c, val_c, nnz_c = _sort_compress_from_gather(
                         g, avT, width=w, run=run, ka=F_c,
                         start_kk=start_kk, interpret=interpret,
@@ -1669,7 +1676,8 @@ def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
                        assemble: str = "ell",
                        plan_device: bool = False,
                        layout: str | None = None,
-                       run_override: int | None = None):
+                       run_override: int | None = None,
+                       pregather: bool = False):
     """Host-plan the width-class pipeline ONCE and return a zero-argument
     callable that runs it. plan_device=False (default) builds the ragged
     fragment matrices with host numpy at plan time — the measured-fastest
@@ -1678,11 +1686,18 @@ def multiclass_planned(A: ELL, B: ELL, *, max_classes: int = 4,
     e2e 50.7 ms devplan vs 21.1 ms hostplan). plan_device=True moves the
     build inside the jitted pipeline (one-shot CSR-input calls with no
     plan reuse). layout forces the chunked/ragged decision (A/B hook).
+    pregather=True additionally materializes g = table[MT] at plan time
+    (both factors are plan constants, like AVT): per repeated call it
+    removes the issue-bound 64-lane table gather (~2 ms on the
+    headline) at the price of plan-held HBM (<= PREGATHER_BUDGET_BYTES,
+    else silently disabled) — the right trade for the repeated-multiply
+    steady state, the wrong one for one-shot calls.
     Returns None when not viable."""
     return _multiclass_build(A, B, max_classes=max_classes,
                              out_width=out_width, interpret=interpret,
                              assemble=assemble, plan_device=plan_device,
-                             layout=layout, run_override=run_override)
+                             layout=layout, run_override=run_override,
+                             pregather=pregather)
 
 
 def spgemm_bitonic_multiclass(A: ELL, B: ELL, *, max_classes: int = 4,
@@ -1814,13 +1829,15 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
                       out_width: int | None, interpret: bool | None,
                       assemble: str = "ell", plan_device: bool = False,
                       layout: str | None = None,
-                      run_override: int | None = None):
+                      run_override: int | None = None,
+                      pregather: bool = False):
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     anchors = (A.col_ind, A.values, A.nnz_row,
                B.col_ind, B.values, B.nnz_row)
     key = (tuple(id(x) for x in anchors), max_classes, out_width,
-           interpret, assemble, plan_device, layout, run_override)
+           interpret, assemble, plan_device, layout, run_override,
+           pregather)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
         _BUILD_CACHE_STATS["hits"] += 1
@@ -1829,7 +1846,7 @@ def _multiclass_build(A: ELL, B: ELL, *, max_classes: int,
     call = _multiclass_build_uncached(
         A, B, max_classes=max_classes, out_width=out_width,
         interpret=interpret, assemble=assemble, plan_device=plan_device,
-        layout=layout, run_override=run_override)
+        layout=layout, run_override=run_override, pregather=pregather)
     if len(_BUILD_CACHE) >= _BUILD_CACHE_MAX:
         _BUILD_CACHE.pop(next(iter(_BUILD_CACHE)))
     # anchors stored alongside: a None call (inviable plan) closes over
@@ -1844,7 +1861,8 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
                                assemble: str = "ell",
                                plan_device: bool = False,
                                layout: str | None = None,
-                               run_override: int | None = None):
+                               run_override: int | None = None,
+                               pregather: bool = False):
     if assemble not in ("ell", "bcsr", "raw"):
         raise ValueError(f"unknown assemble mode {assemble!r}")
     if interpret is None:
@@ -1926,10 +1944,32 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
         table = _ragged_table(B.col_ind, B.values,
                               jnp.asarray(frag_src.astype(np.int32)),
                               run=run, cm=cm)
+        # pregather: g = table[MT] is a pure function of the plan (B's
+        # fragment table AND the index matrices are both baked per
+        # (A, B) — exactly like AVT bakes A's values), so for the
+        # repeated-multiply steady state it can be materialized ONCE
+        # here instead of per call. Measured ~2 ms/call of issue-bound
+        # 64-lane gather on the headline (reports/mc_profile.json).
+        # Costs plan HBM (sum F_c*n_pad*lanes*4 B) — gated by budget and
+        # by every class fitting the cols-layout kernels.
+        pregather = (pregather and not plan_device
+                     and all(int(w) <= TRANSPOSED_MAX_WIDTH
+                             for w in widths))
+        if pregather:
+            lanes = int(table.shape[1])
+            g_bytes = sum(kas[c] * counts[c] * lanes * 4
+                          for c in range(len(widths)))
+            if g_bytes > PREGATHER_BUDGET_BYTES:
+                pregather = False
+        if pregather:
+            mts = extra[:len(widths)]
+            gs = [table[mts[c].reshape(-1)].reshape(
+                kas[c], counts[c], lanes) for c in range(len(widths))]
+            extra = gs + extra[len(widths):]
         fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
                             run, 0, out_w, m, interpret,
                             jnp.dtype(A.values.dtype), True, cm,
-                            assemble, plan_device)
+                            assemble, plan_device, pregather)
     else:
         per_entry = chunks * run
         for w in widths:

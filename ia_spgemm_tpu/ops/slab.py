@@ -237,6 +237,28 @@ def _slab_sort_compress(g, avT, lrT, *, width: int, run: int, ka: int,
 # exactly like BlockCSR/ELL.
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("F_c", "lanes", "W", "run", "n",
+                                    "interpret", "static"))
+def _slab_run(table, mt, avt, lrt, *, F_c: int, lanes: int, W: int,
+              run: int, n: int, interpret: bool, static: bool):
+    """The whole per-call slab pipeline under ONE jit: table gather ->
+    expand+sort -> compress -> nnz fold. Running the gather eagerly
+    (the round-4 first cut) left its output in whatever layout the
+    eager gather picked and paid a per-call relayout copy in front of
+    the pallas operand — the suspected 2x per-slot gap vs the flat
+    kernels (NOTES round-4 open levers) and a source of run-to-run
+    variance; jitting the seam lets XLA lay the gather result out for
+    the custom call directly (same fix as the multiclass pipeline's
+    in-fn gather)."""
+    S_pad = avt.shape[1]
+    g = table[mt.reshape(-1)].reshape(F_c, S_pad, lanes)
+    keys, vals, nnz_s = _slab_sort_compress(
+        g, avt, lrt, width=W, run=run, ka=F_c, n=n,
+        start_kk=2 * run, interpret=interpret, static_strides=static)
+    return keys, vals, nnz_s, jnp.sum(nnz_s[:, 0]).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "out_cap"))
 def _compact_xla(keys, vals, nnz_s, sfr, *, n: int, out_cap: int):
     """Slab concatenation as an XLA drop-mode scatter (~per-element
@@ -450,15 +472,13 @@ def _plan_slab_csr_uncached(A: CSR, B: CSR, *, width: int | None = None,
     static = W <= _COLS_STATIC_MAX_WIDTH
 
     def call() -> SlabCSR:
-        g = plan.table[plan.mt.reshape(-1)].reshape(F_c, S_pad, lanes)
-        keys, vals, nnz_s = _slab_sort_compress(
-            g, plan.avt, plan.lrt, width=W, run=run, ka=F_c, n=n,
-            start_kk=2 * run, interpret=interpret,
-            static_strides=static)
-        total = jnp.sum(nnz_s[:, 0])
+        keys, vals, nnz_s, total = _slab_run(
+            plan.table, plan.mt, plan.avt, plan.lrt, F_c=F_c,
+            lanes=lanes, W=W, run=run, n=n, interpret=interpret,
+            static=static)
         return SlabCSR(keys=keys, values=vals, nnz_slab=nnz_s[:, 0],
                        slab_first_row=plan.slab_first_row[:, 0],
-                       nnz=total.astype(jnp.int32), shape=shape)
+                       nnz=total, shape=shape)
 
     call.plan = plan
     return call

@@ -97,6 +97,16 @@ def main():
     plan_s = time.perf_counter() - t0
     if call is not None:
         report("mc_bcsr", call, plan_s)
+    # plan-materialized gather (pregather=True): steady-state variant —
+    # g = table[MT] is a plan constant, so repeated calls skip the
+    # issue-bound 64-lane table gather entirely
+    t0 = time.perf_counter()
+    call = bitonic.multiclass_planned(A_ell, A_ell, assemble="bcsr",
+                                      out_width=out_w, pregather=True)
+    plan_s = time.perf_counter() - t0
+    if call is not None:
+        report("mc_bcsr_pg", call, plan_s)
+
     t0 = time.perf_counter()
     call = bitonic.multiclass_planned(A_ell, A_ell, assemble="ell",
                                       out_width=out_w)

@@ -587,3 +587,22 @@ def test_multiclass_run_override():
         np.asarray(A.nnz_row), A.max_nnz_per_row,
         a_col_dev=A.col_ind, b_len_dev=A.nnz_row, run_override=3)
     assert not plan.viable
+
+
+def test_multiclass_pregather_matches():
+    """pregather=True materializes g = table[MT] at plan time; the
+    result must be bit-identical to the per-call gather (same kernels,
+    same operand values — only WHEN the gather runs differs)."""
+    a = _skewed(7, 300)
+    A = _ell(a)
+    base = bitonic.multiclass_planned(A, A, assemble="bcsr")
+    pg = bitonic.multiclass_planned(A, A, assemble="bcsr",
+                                    pregather=True)
+    assert base is not None and pg is not None
+    C0, C1 = base(), pg()
+    assert np.array_equal(np.asarray(C0.nnz_row), np.asarray(C1.nnz_row))
+    assert np.array_equal(np.asarray(C0.col_blocks),
+                          np.asarray(C1.col_blocks))
+    assert np.array_equal(np.asarray(C0.val_blocks),
+                          np.asarray(C1.val_blocks))
+    _check(a, a, C1)
