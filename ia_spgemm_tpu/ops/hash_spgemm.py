@@ -14,11 +14,16 @@ Round 2: B is STREAMED from HBM by double-buffered async DMA (aligned
 occupy SMEM — m = 32768 operands are viable (round 1 required BOTH
 operands resident in SMEM, capping it at toy sizes).
 
-Perf note (measured, see NOTES.md): on VPU hardware a hash insert costs
-the same class of work as a sort-network routing step per element — the
-sort-based kernels (ops/bitonic.py) ARE this framework's production
-answer to the hash/NSPARSE class, and this kernel is the taxonomy's
-scalar-probing exhibit at full scale, not a speed record.
+Perf bound (measured round 4, reports/hash_win.json): ~46 ns/insert of
+scalar SMEM probing on v5e. Even in the regime engineered to favor
+probing — per-row products past the sort engines' 16384-lane width cap
+(flat/multiclass/slab all inviable) with a 20x duplicate collapse into
+narrow rows — the vectorized global-sort ESC fallback is 3.8x faster
+(1.02 s vs 3.90 s device at E=84M), and that workload's fully-dense C
+really belongs to the MXU dense route (~2 ms of matmul). On TPU the
+hash/NSPARSE class is correctly served by the sort-based kernels
+(ops/bitonic.py); this kernel is the taxonomy's scalar-probing exhibit
+at full scale, not a speed record.
 """
 
 from __future__ import annotations
