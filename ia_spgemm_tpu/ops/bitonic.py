@@ -1952,20 +1952,24 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
         # 64-lane gather on the headline (reports/mc_profile.json).
         # Costs plan HBM (sum F_c*n_pad*lanes*4 B) — gated by budget and
         # by every class fitting the cols-layout kernels.
-        pregather = (pregather and not plan_device
-                     and all(int(w) <= TRANSPOSED_MAX_WIDTH
-                             for w in widths))
+        # per-class: wide classes (rows layout) keep their per-call
+        # gather; every cols-layout class pregathers (skew plans with
+        # one huge-row class still benefit on the narrow classes)
+        pregather = pregather and not plan_device
         if pregather:
             lanes = int(table.shape[1])
             g_bytes = sum(kas[c] * counts[c] * lanes * 4
-                          for c in range(len(widths)))
-            if g_bytes > PREGATHER_BUDGET_BYTES:
+                          for c in range(len(widths))
+                          if int(widths[c]) <= TRANSPOSED_MAX_WIDTH)
+            if g_bytes > PREGATHER_BUDGET_BYTES or not any(
+                    int(w) <= TRANSPOSED_MAX_WIDTH for w in widths):
                 pregather = False
         if pregather:
             mts = extra[:len(widths)]
-            gs = [table[mts[c].reshape(-1)].reshape(
-                kas[c], counts[c], lanes) for c in range(len(widths))]
-            extra = gs + extra[len(widths):]
+            extra = [table[mts[c].reshape(-1)].reshape(
+                kas[c], counts[c], lanes)
+                if int(widths[c]) <= TRANSPOSED_MAX_WIDTH else mts[c]
+                for c in range(len(widths))] + extra[len(widths):]
         fn = _multiclass_fn(tuple(widths), tuple(kas), tuple(counts),
                             run, 0, out_w, m, interpret,
                             jnp.dtype(A.values.dtype), True, cm,

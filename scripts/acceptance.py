@@ -197,13 +197,19 @@ def headline_rooflines():
                   for w in np.unique(W_skew)]
     cost_mc = roofline.cost_multiclass(class_rows, int(A_skew.nnz),
                                        int(c_ref.nnz))
-    for mode in ("ell", "bcsr"):
-        call = bitonic.multiclass_planned(A_skew_ell, A_skew_ell,
-                                          out_width=ow, assemble=mode)
+    for mode in ("ell", "bcsr", "bcsr_pg"):
+        call = bitonic.multiclass_planned(
+            A_skew_ell, A_skew_ell, out_width=ow,
+            assemble="bcsr" if mode == "bcsr_pg" else mode,
+            pregather=mode == "bcsr_pg")
         r = profiling.time_op(call, iters=3)
-        dev = profiling.device_time_ms(call, chain=2)
-        key = "multiclass_skew" if mode == "bcsr" \
-            else "multiclass_skew_ell"
+        # chain=2 differences a single pair of tunnel RTTs — measured
+        # wildly unstable on sub-20ms kernels (slab_probe history);
+        # chain=6 amortizes
+        dev = profiling.device_time_ms(call, chain=6)
+        key = {"bcsr": "multiclass_skew",
+               "ell": "multiclass_skew_ell",
+               "bcsr_pg": "multiclass_skew_pg"}[mode]
         out[key] = {
             "wall_ms": r["median_ms"],
             "device_ms": dev["device_ms"],

@@ -589,11 +589,16 @@ def test_multiclass_run_override():
     assert not plan.viable
 
 
-def test_multiclass_pregather_matches():
+@pytest.mark.parametrize("a", [
+    _skewed(7, 300),
+    # B-skew with a wide (rows-layout) class: only the cols-layout
+    # classes pregather, the wide class keeps its per-call gather
+    _skewed(23, 256, heavy_every=64, heavy=160, light=5),
+], ids=["narrow", "mixed_wide"])
+def test_multiclass_pregather_matches(a):
     """pregather=True materializes g = table[MT] at plan time; the
     result must be bit-identical to the per-call gather (same kernels,
     same operand values — only WHEN the gather runs differs)."""
-    a = _skewed(7, 300)
     A = _ell(a)
     base = bitonic.multiclass_planned(A, A, assemble="bcsr")
     pg = bitonic.multiclass_planned(A, A, assemble="bcsr",
