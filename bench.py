@@ -102,11 +102,11 @@ def main():
     routes = {}   # name -> (run_fn, cost_model)
 
     def measure(name, run, cost):
-        C = jax.block_until_ready(run())  # compile + first run
+        C = profiling.force(run())  # compile + first run
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            jax.block_until_ready(run())
+            profiling.force(run())
             times.append((time.perf_counter() - t0) * 1e3)
         wall = float(np.median(times))
         device = profiling.device_time_ms(run, chain=8)["device_ms"]

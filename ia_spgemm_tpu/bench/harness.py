@@ -103,13 +103,15 @@ class BenchReport:
 
 
 def _time_ms(fn: Callable, warmup: int = 1, iters: int = 3) -> float:
-    """Median wall-clock ms of fn() with device sync."""
+    """Median wall-clock ms of fn() with device sync (profiling.force:
+    block_until_ready alone can no-op over the axon dev tunnel)."""
+    from ia_spgemm_tpu.bench.profiling import force
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        force(fn())
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        force(fn())
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times))
 

@@ -35,6 +35,24 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def force(out):
+    """Force execution of `out` and return it.
+
+    block_until_ready over the axon dev tunnel does NOT always force
+    execution (measured: a planned multiclass call 'completed' in
+    0.18 ms wall where the kernels take ~10 ms device — the r4
+    acceptance multiclass_skew_pg artifact). A 1-element host readback
+    of the LAST result is a true barrier: the device executes in
+    dispatch order, so the element arriving implies everything queued
+    before it finished."""
+    jax.block_until_ready(out)
+    for leaf in reversed(jax.tree_util.tree_leaves(out)):
+        if isinstance(leaf, jax.Array):
+            np.asarray(jax.numpy.ravel(leaf)[:1])
+            break
+    return out
+
+
 def time_op(fn: Callable, *args, iters: int = 5, warmup: int = 1,
             **kwargs) -> Dict:
     """Median wall-clock of fn(*args) with device sync, plus spread.
@@ -44,11 +62,11 @@ def time_op(fn: Callable, *args, iters: int = 5, warmup: int = 1,
     block_until_ready standing in for kernel completion.
     """
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
+        force(fn(*args, **kwargs))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
+        force(fn(*args, **kwargs))
         ts.append((time.perf_counter() - t0) * 1e3)
     arr = np.asarray(ts)
     return {"median_ms": float(np.median(arr)),
@@ -74,7 +92,7 @@ def device_time_ms(fn: Callable, *args, chain: int = 8, reps: int = 3,
     """
     def run(n):
         outs = [fn(*args, **kwargs) for _ in range(n)]
-        jax.block_until_ready(outs)
+        force(outs)
 
     run(1)  # compile
     t1, tn = [], []

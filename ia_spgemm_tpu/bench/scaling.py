@@ -41,11 +41,12 @@ class ScalingPoint:
 
 
 def _time_ms(fn, iters: int = 3) -> float:
-    jax.block_until_ready(fn())
+    from ia_spgemm_tpu.bench.profiling import force
+    force(fn())
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        force(fn())
         ts.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(ts))
 

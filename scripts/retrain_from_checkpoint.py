@@ -39,10 +39,19 @@ def main():
               for algo in MENU}
     print(f"{len(samples)} samples {counts}", flush=True)
 
+    # v2 checkpoints write version-suffixed artifacts until the corpus
+    # is mature: the SHIPPED weights/TPU_upcycled.npz + upcycle_report
+    # hold the v1 181-sample evidence (k-fold 0.80 vs 0.60 majority) and
+    # must not be clobbered by a partial harvest. Promote explicitly
+    # (--promote) once the v2 corpus covers its menu.
+    promote = "--promote" in sys.argv
+    suf = "" if (promote or path.endswith("tpu_samples.npz")) else "_v2"
+
     params, _, _ = upcycle.upcycle(samples, menu=MENU, init_from="Intel",
                                    steps=400, batch_size=16)
     acc = upcycle.evaluate_pick_accuracy(params, samples, menu=MENU)
-    weights.save_params_npz("weights/TPU_upcycled.npz", params, menu=MENU)
+    weights.save_params_npz(f"weights/TPU_upcycled{suf}.npz", params,
+                            menu=MENU)
     print(f"in-sample accuracy {acc:.4f}", flush=True)
 
     kfold_acc, folds, majority = upcycle.stratified_kfold_accuracy(
@@ -58,7 +67,7 @@ def main():
         "majority_baseline": round(majority, 4),
         "train_steps": 400,
     }
-    with open("weights/upcycle_report.json", "w") as f:
+    with open(f"weights/upcycle_report{suf}.json", "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report), flush=True)
 
