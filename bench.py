@@ -151,10 +151,15 @@ def main():
             # identical calls, as is the reference's own timing loop
             # (CPU main.cpp:21, NUM_RUN=100 averaged) — and the plan
             # cost is reported.
-            call_pg = bitonic.multiclass_planned(A_ell, A_ell,
-                                                 assemble="bcsr",
-                                                 out_width=out_w_mc,
-                                                 pregather=True)
+            call_pg = bitonic.multiclass_planned(
+                A_ell, A_ell, assemble="bcsr", out_width=out_w_mc,
+                pregather=True,
+                # tuned sub-run (pg_tune A/B): run=8's finer fragment
+                # padding wins once its 32-lane gather is plan-time.
+                # Smoke keeps the planner default — run=8 in interpret
+                # mode multiplies kernel variants past the CPU budget
+                run_override=None if smoke
+                else (tuning or {}).get("pg_run"))
             if call_pg is not None:
                 measure("multiclass_pg", call_pg,
                         roofline.cost_multiclass(class_rows, int(A.nnz),

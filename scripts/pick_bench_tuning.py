@@ -50,12 +50,37 @@ def pick(paths):
     return best
 
 
+def pick_pg_run():
+    """Distill reports/pg_tune.json (x_pg_tune.py) into the pregather
+    route's run_override: the sub-run knob re-opens under pregather
+    because the 32-lane table gather that sank run=8 in round 3 moves
+    to plan time."""
+    try:
+        with open("reports/pg_tune.json") as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    best = None
+    for tag, r in d.items():
+        if not tag.startswith("pg_run") or not isinstance(r, dict):
+            continue
+        if not r.get("device_ms") or r.get("rel_err", 1.0) > _REL_ERR_MAX:
+            continue
+        run = None if tag.endswith("auto") else int(tag[len("pg_run"):])
+        if best is None or r["device_ms"] < best[0]:
+            best = (r["device_ms"], run)
+    return None if best is None else best[1]
+
+
 def main():
     paths = glob.glob("reports/headline_routes_w*.json")
     best = pick(paths)
     if best is None:
         print("no headline route artifacts — nothing to tune")
         return
+    pg_run = pick_pg_run()
+    if pg_run is not None:
+        best["pg_run"] = pg_run
     with open("reports/bench_tuning.json", "w") as f:
         json.dump(best, f, indent=1)
     print(json.dumps(best))
