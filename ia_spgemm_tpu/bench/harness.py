@@ -73,6 +73,11 @@ class AlgorithmResult:
     skipped: bool = False           # viability guard rejected the format
     timed_out: bool = False
     run_time_ms: float = 0.0
+    # pure device time (chained-dispatch estimate, profiling.device_time_ms)
+    # — 0.0 unless the caller asked for device timers. Under the dev
+    # tunnel run_time_ms carries a ~28 ms sync RTT that drowns small
+    # kernels; selector labels must compare device time.
+    device_time_ms: float = 0.0
     trans_time_ms: float = 0.0
     memory_bytes: float = 0.0       # size of C in this algorithm's format
     verified_sum: float = 0.0
@@ -152,6 +157,7 @@ def run_benchmark(A: CSR, B: CSR,
                   config: cfg.SpGEMMConfig = cfg.DEFAULT_CONFIG,
                   matnet_pick: Optional[str] = None,
                   iters: int = 3,
+                  device_timers: bool = False,
                   isolate: bool = False,
                   isolate_backend: Optional[str] = None,
                   progress=None) -> BenchReport:
@@ -204,7 +210,8 @@ def run_benchmark(A: CSR, B: CSR,
                     backend=isolate_backend)
                 report.results[-1] = iso
                 continue
-            out = _bench_one(name, A, B, config, budget_s, res, iters)
+            out = _bench_one(name, A, B, config, budget_s, res, iters,
+                             device_timers=device_timers)
             if out is None:
                 continue
         except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
@@ -243,7 +250,8 @@ def run_benchmark(A: CSR, B: CSR,
 
 
 def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
-               timeout_s: Optional[float], res: AlgorithmResult, iters: int):
+               timeout_s: Optional[float], res: AlgorithmResult, iters: int,
+               device_timers: bool = False):
     """Convert (timed after compile), run (timed, under watchdog)."""
     ratio = config.size_guard_ratio
 
@@ -500,6 +508,13 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         res.timed_out = True
         return None
     res.run_time_ms = _time_ms(run_once, warmup=0, iters=iters)
+    if device_timers:
+        # chained-dispatch device time: the selector's label signal.
+        # On a local TPU host run_time_ms ~= device + ~50us dispatch and
+        # the two agree; under the dev tunnel only this one is honest.
+        from ia_spgemm_tpu.bench.profiling import device_time_ms
+        res.device_time_ms = device_time_ms(
+            run_once, chain=4, reps=2)["device_ms"]
     res.verified_sum = float(C.checksum())
     from ia_spgemm_tpu.formats.types import BlockCSR
     if isinstance(C, BlockCSR):

@@ -33,6 +33,13 @@ class Sample:
     label: int             # index into the menu
     winner: str
     matrix_name: str = ""
+    # per-algorithm measured times {name: [device_ms, wall_ms]} — kept so
+    # a harvested corpus can be RELABELED offline when the menu changes
+    # (round-4 lesson: winner-only checkpoints forced a from-scratch
+    # re-harvest every time the class semantics moved). device_ms = 0.0
+    # means the harvest ran without device timers; relabeling then falls
+    # back to wall.
+    times: dict = dataclasses.field(default_factory=dict)
 
 
 def harvest_sample(A: CSR, B: CSR, menu: Sequence[str] = DEFAULT_MENU,
@@ -47,6 +54,7 @@ def harvest_sample(A: CSR, B: CSR, menu: Sequence[str] = DEFAULT_MENU,
     algos = tuple(menu) if "baseline" in menu \
         else ("baseline",) + tuple(menu)
     rep = harness.run_benchmark(A, B, algos, iters=iters,
+                                device_timers=True,
                                 matrix_a=name, matrix_b=name,
                                 progress=progress)
     ok = [r for r in rep.results
@@ -54,13 +62,39 @@ def harvest_sample(A: CSR, B: CSR, menu: Sequence[str] = DEFAULT_MENU,
           and r.name in menu]
     if not ok:
         return None
-    winner = min(ok, key=lambda r: r.run_time_ms).name
+    # label by DEVICE time: under the dev tunnel every wall time carries
+    # a ~28 ms sync RTT that drowns the 0.5-5 ms deltas between
+    # algorithms on mid-size matrices — v2's wall-labeled harvest
+    # measured k-fold 0.588 vs 0.661 majority, i.e. label noise.
+    winner = min(ok, key=lambda r: (r.device_time_ms
+                                    if r.device_time_ms > 0
+                                    else r.run_time_ms)).name
+    times = {r.name: [float(r.device_time_ms), float(r.run_time_ms)]
+             for r in rep.results if r.ok and r.run_time_ms > 0}
     fv = np.asarray(features.feature_vector(A, B), dtype=np.float32)
     img1 = np.asarray(density.density_image_normalized(A), dtype=np.float32)
     img2 = np.asarray(density.density_image_normalized(B), dtype=np.float32)
     return Sample(img1=img1, img2=img2, feats=fv,
                   label=list(menu).index(winner), winner=winner,
-                  matrix_name=name)
+                  matrix_name=name, times=times)
+
+
+def relabel(samples: List[Sample], menu: Sequence[str]) -> List[Sample]:
+    """Re-derive (label, winner) from each sample's stored per-algorithm
+    times against a (possibly different) menu. Samples measuring none of
+    the menu's algorithms are dropped. Device time wins over wall when
+    recorded (wall carries the dev tunnel's ~28 ms sync RTT)."""
+    out = []
+    for s in samples:
+        cand = {n: t for n, t in s.times.items() if n in menu}
+        if not cand:
+            continue
+        winner = min(cand,
+                     key=lambda n: (cand[n][0] if cand[n][0] > 0
+                                    else cand[n][1]))
+        out.append(dataclasses.replace(
+            s, label=list(menu).index(winner), winner=winner))
+    return out
 
 
 def dataset_from_samples(samples: List[Sample], batch_size: int,
@@ -126,6 +160,7 @@ def save_samples(path: str, samples: List[Sample],
         labels=np.array([s.label for s in samples], np.int32),
         winners=json.dumps([s.winner for s in samples]),
         names=json.dumps([s.matrix_name for s in samples]),
+        times=json.dumps([s.times for s in samples]),
         **extra)
 
 
@@ -154,9 +189,12 @@ def load_samples(path: str) -> List[Sample]:
             "non-finite features in harvest checkpoint "
             f"{path}: samples {[names[i] for i in bad]} — re-extract "
             "(ops/features.py) or drop them before training")
+    times = (json.loads(str(d["times"])) if "times" in d
+             else [{} for _ in winners])  # pre-round-5 checkpoints
     return [Sample(img1=d["img1"][i], img2=d["img2"][i],
                    feats=feats[i], label=int(d["labels"][i]),
-                   winner=winners[i], matrix_name=names[i])
+                   winner=winners[i], matrix_name=names[i],
+                   times=times[i])
             for i in range(len(winners))]
 
 

@@ -41,13 +41,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 # Round 3 (NOTES 5b): STRATEGY-DISTINCT classes. After the tiled csr
 # route landed, 'csr' and 'bitonic' became near-ties (both run the
 # width-class Pallas sorters when viable), as did 'coo'/'csr' in round 2
-# — label noise, not signal. The relabeled menu names one representative
-# per accumulation strategy: tiled width-class sort (bitonic), global
-# device sort (esc), SMEM hash probing (hash), diagonal algebra (dia),
-# dense-row MXU accumulation (dense_row).
-MENU = ("bitonic", "esc", "hash", "dia", "dense_row")
-# (The prior round-2 menu lives where it's read back:
-# retrain_from_checkpoint.MENU_V1 — this script never loads v1 data.)
+# — label noise, not signal. The menu names one representative per
+# accumulation strategy.
+#
+# Round 5 (VERDICT r4 #1): 'hash' dropped — reports/hash_win.json proves
+# it cannot win even in its engineered best-case regime (3.90 s vs ESC's
+# 1.02 s, ~46 ns/insert scalar probing), so it occupied a permanently
+# empty class. Its slot goes to 'dense' (full MXU densify), the natural
+# winner for small/dense inputs where every sort pipeline is overhead.
+# v3 classes: tiled width-class sort (bitonic), slab/global ESC (esc),
+# diagonal algebra (dia), ELL x dense-B MXU accumulation (dense_row),
+# full dense MXU (dense).
+MENU = ("bitonic", "esc", "dia", "dense_row", "dense")
+# (Prior menus live where they're read back:
+# retrain_from_checkpoint.MENU_V1; the v2 checkpoint records its own.)
 
 
 def corpus(quick: bool):
@@ -187,6 +194,36 @@ def corpus(quick: bool):
                 yield (f"hugerow_{m}_{seed}", sp.coo_matrix(
                     (rng.standard_normal(rows.shape[0]), (rows, cols)),
                     shape=(m, m)).tocsr(), None)
+        # --- v6 (round 5, menu v3) ---
+        # dense-class niche: small but dense inputs where a single MXU
+        # matmul beats every sort pipeline (density 3-12%)
+        for m in (1024, 2048, 4096):
+            for div in (8, 16, 32):
+                for seed in (0, 1):
+                    if m // div < 8:
+                        continue
+                    yield (f"smalldense_{m}_{div}_{seed}",
+                           g.gen_uniform(m, nnz_per_row=m // div,
+                                         seed=seed), None)
+        # dense_row niche: SpMM-shaped pairs — sparse A, dense-ish B
+        # (C densifies; the ELL x dense-B MXU route's home turf)
+        for m in (2048, 4096, 8192):
+            for seed in (0, 1):
+                yield (f"pair_sp_dense_{m}_{seed}",
+                       g.gen_uniform(m, nnz_per_row=6 + seed, seed=seed),
+                       g.gen_uniform(m, nnz_per_row=max(8, m // 12),
+                                     seed=seed + 1))
+        # named SuiteSparse structure replicas (VERDICT r4 #9): the
+        # mid-size subset whose A@A expansion fits the 900 s worker
+        # budget; heavyweights (pwtk/hood/web-*/consph/cant) are bench
+        # workloads, not harvest samples
+        for nm in ("poisson3Da", "m133-b3", "mac_econ_fwd500", "scircuit",
+                   "cage12", "2cubes_sphere", "mc2depi", "majorbasis",
+                   "mario002", "filter3D", "cop20k_A", "patents_main",
+                   "offshore", "rma10", "shipsec1"):
+            for seed in (0, 1):
+                yield (f"named_{nm}_{seed}",
+                       suitesparse.gen_named(nm, seed=seed), None)
     # the 9 reference fixture matrices (tiny; exercise symmetric/pattern)
     for name, path in sorted(suitesparse.local_collection().items()):
         try:
@@ -276,10 +313,12 @@ def main():
     # resume: skip matrices already harvested (incremental checkpoint)
     samples = []
     done = set()
-    # v2: labels index the strategy-distinct MENU — the v1 checkpoint
-    # (weights/tpu_samples.npz, MENU_V1 labels) cannot be reused because
-    # samples store only the winner, not per-algorithm timings
-    ckpt = "weights/tpu_samples_v2.npz"
+    # v3: device-time labels + per-algorithm times stored in each sample
+    # (so future menu changes RELABEL offline instead of re-harvesting).
+    # Neither earlier checkpoint is reusable: v1/v2 stored winner-only
+    # labels, and v2's wall-time labels were measured to be tunnel-RTT
+    # noise (kfold 0.588 < 0.661 majority, upcycle_report_v2.json).
+    ckpt = "weights/tpu_samples_v3.npz"
     if os.path.exists(ckpt):
         # do NOT silently restart on a bad checkpoint — that throws away
         # hours of chip time. A non-finite-features ValueError names the

@@ -99,3 +99,46 @@ def test_samples_menu_roundtrip(tmp_path):
     p1 = str(tmp_path / "v1.npz")
     upcycle.save_samples(p1, [s])
     assert upcycle.load_samples_menu(p1) is None
+
+
+def test_times_roundtrip_and_relabel(tmp_path):
+    """v3 samples carry per-algorithm times so a menu change can relabel
+    the harvested corpus offline instead of re-running the chip."""
+    base = dict(img1=np.zeros((128, 128), np.float32),
+                img2=np.zeros((128, 128), np.float32),
+                feats=np.zeros(26, np.float64))
+    s1 = upcycle.Sample(**base, label=0, winner="bitonic", matrix_name="a",
+                        times={"bitonic": [5.0, 40.0], "esc": [8.0, 45.0],
+                               "dense": [1.5, 30.0]})
+    s2 = upcycle.Sample(**base, label=1, winner="esc", matrix_name="b",
+                        times={"bitonic": [0.0, 50.0], "esc": [0.0, 20.0]})
+    s3 = upcycle.Sample(**base, label=0, winner="hash", matrix_name="c",
+                        times={"hash": [1.0, 10.0]})
+    p = str(tmp_path / "v3.npz")
+    upcycle.save_samples(p, [s1, s2, s3], menu=("bitonic", "esc"))
+    back = upcycle.load_samples(p)
+    assert back[0].times == s1.times
+
+    # relabel to a menu including 'dense': s1 flips to the stored faster
+    # dense time; s2 (no device times) falls back to wall; s3 measured
+    # nothing on the new menu and is dropped
+    menu = ("bitonic", "esc", "dense")
+    out = upcycle.relabel(back, menu)
+    assert len(out) == 2
+    assert out[0].winner == "dense" and out[0].label == 2
+    assert out[1].winner == "esc" and out[1].label == 1
+
+
+def test_load_samples_pre_times_checkpoint(tmp_path):
+    """Pre-round-5 checkpoints (no times array) still load."""
+    s = upcycle.Sample(img1=np.zeros((128, 128), np.float32),
+                       img2=np.zeros((128, 128), np.float32),
+                       feats=np.zeros(26, np.float64),
+                       label=0, winner="csr", matrix_name="old")
+    p = str(tmp_path / "old.npz")
+    np.savez_compressed(
+        p, img1=s.img1[None], img2=s.img2[None], feats=s.feats[None],
+        labels=np.array([0], np.int32), winners='["csr"]',
+        names='["old"]')
+    back = upcycle.load_samples(p)
+    assert back[0].times == {}
