@@ -217,11 +217,17 @@ def _as_csr(C):
     return BlockCSR (128-aligned) and the slab engine SlabCSR — both
     convert with one flat scatter."""
     from ia_spgemm_tpu.formats.types import BlockCSR, SlabCSR
+    from ia_spgemm_tpu.ops import slab as slab_mod
     if isinstance(C, BlockCSR):
         return convert.bcsr_to_csr(C)
     if isinstance(C, SlabCSR):
-        from ia_spgemm_tpu.ops import slab as slab_mod
         return slab_mod.slab_to_csr(C)
+    if isinstance(C, slab_mod.HybridCSR):
+        # disjoint-row light/heavy parts; merge through the scipy host
+        # path (consumers that can take the native HybridCSR should —
+        # this coercion exists only for the exact-CSR contract here)
+        from ia_spgemm_tpu.formats.types import CSR as _CSR
+        return _CSR.from_scipy(C.to_scipy())
     if hasattr(C, "max_nnz_per_row"):        # ELL
         return convert.ell_to_csr(C)
     return C

@@ -256,22 +256,17 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
     ratio = config.size_guard_ratio
 
     if name == "csr":
-        # tiled width-class route when viable (Pallas tile sorters,
-        # BlockCSR out); global-sort/sliced ESC otherwise. Planning —
-        # symbolic pass or ELL conversion + class plan — is setup,
-        # reported as trans time like every format conversion.
+        # production auto route: calibrated cost model picks among the
+        # tiled width-class sorters, the slab engine, the slab+global
+        # hybrid (skewed inputs, VERDICT r4 #4) and the global-sort ESC.
+        # Planning is setup, reported as trans time like conversions.
         def convert_fn():
-            t = esc.plan_csr_tiled(A, B)
-            if t is not None:
-                return ("tiled", t)
-            return ("esc", esc.plan_spgemm(
-                A, B, bucket=config.bucket_capacities))
+            return esc.plan_csr_auto(A, B,
+                                     bucket=config.bucket_capacities)
 
         def compute(ab):
-            kind, x = ab
-            if kind == "tiled":
-                return x()
-            return esc.spgemm_csr(A, B, x)
+            _route, call = ab
+            return call()
     elif name == "esc":
         # the ESC engine (no tiled/width-class route): slab-packed VMEM
         # sort when viable (native SlabCSR out, like bitonic's ELL and

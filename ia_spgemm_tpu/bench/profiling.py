@@ -74,6 +74,91 @@ def time_op(fn: Callable, *args, iters: int = 5, warmup: int = 1,
             "iters": iters}
 
 
+def sync_rtt_ms(reps: int = 7) -> float:
+    """Round-trip cost of ONE host<->device sync with no compute.
+
+    Forces a tiny already-materialized device array: the measured time is
+    pure readback/sync latency (over the axon dev tunnel ~25-30 ms; on a
+    locally-attached chip ~0.1 ms). This is the floor under every
+    per-call wall measurement and exists in the *measurement path*, not
+    in the framework: a production serving loop never syncs per call."""
+    import jax.numpy as jnp
+    tiny = jnp.zeros(8)
+    force(tiny)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        force(tiny)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def dispatch_ms(fn: Callable, *args, reps: int = 5, **kwargs) -> float:
+    """Host-side cost to ISSUE one (pre-compiled) call, without waiting.
+
+    Covers python glue, argument handling and enqueue of every dispatch
+    the call makes; excludes device compute and the sync RTT. Each
+    sample drains the queue afterwards so calls don't back up."""
+    out = force(fn(*args, **kwargs))  # compile + drain
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        ts.append((time.perf_counter() - t0) * 1e3)
+        force(out)
+    return float(np.median(ts))
+
+
+def pipelined_wall_ms(fn: Callable, *args, n: int = 16, reps: int = 3,
+                      **kwargs) -> Dict:
+    """Steady-state throughput wall: N back-to-back calls, ONE sync.
+
+    This is the wall time a production consumer pays per call when it
+    does not read results synchronously (the normal TPU serving pattern:
+    keep the device queue full, sync rarely). Per-call cost includes
+    device compute, host dispatch overlap, and 1/N of the sync RTT.
+    """
+    force(fn(*args, **kwargs))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args, **kwargs) for _ in range(n)]
+        force(outs)
+        ts.append((time.perf_counter() - t0) * 1e3 / n)
+    return {"pipelined_wall_ms": float(np.median(ts)), "n": n}
+
+
+def wall_decomposition(fn: Callable, *args, n: int = 16, chain: int = 8,
+                       **kwargs) -> Dict:
+    """Attribute a single-call sync wall to device / dispatch / RTT.
+
+    VERDICT r4 #2: the headline wall regressed to 55 ms of which only
+    ~5 ms is device — the rest is per-call host/dispatch/tunnel cost that
+    was previously unattributed. Components:
+      device_ms     — chained-dispatch estimate (device_time_ms)
+      dispatch_ms   — host cost to issue the call (no sync)
+      sync_rtt_ms   — one no-op host<->device round trip
+      residual_ms   — single-call wall minus the above (host re-pack,
+                      scheduling jitter); ~0 when fully attributed
+      pipelined_wall_ms — N calls / one sync: the steady-state wall
+    """
+    dev = device_time_ms(fn, *args, chain=chain, **kwargs)
+    disp = dispatch_ms(fn, *args, **kwargs)
+    rtt = sync_rtt_ms()
+    pipe = pipelined_wall_ms(fn, *args, n=n, **kwargs)
+    single = dev["single_ms"]
+    residual = single - dev["device_ms"] - disp - rtt
+    return {
+        "single_wall_ms": single,
+        "device_ms": dev["device_ms"],
+        "dispatch_ms": disp,
+        "sync_rtt_ms": rtt,
+        "residual_ms": residual,
+        "pipelined_wall_ms": pipe["pipelined_wall_ms"],
+        "pipeline_n": pipe["n"],
+    }
+
+
 def device_time_ms(fn: Callable, *args, chain: int = 8, reps: int = 3,
                    **kwargs) -> Dict:
     """Estimate pure DEVICE time of fn by amortizing dispatch/sync RTT.

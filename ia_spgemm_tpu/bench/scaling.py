@@ -40,7 +40,7 @@ class ScalingPoint:
     efficiency: float  # vs. linear scaling from the 1-device point
 
 
-def _time_ms(fn, iters: int = 3) -> float:
+def _time_ms(fn, iters: int = 3, stat: str = "median") -> float:
     from ia_spgemm_tpu.bench.profiling import force
     force(fn())
     ts = []
@@ -48,7 +48,7 @@ def _time_ms(fn, iters: int = 3) -> float:
         t0 = time.perf_counter()
         force(fn())
         ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(ts))
+    return float(np.min(ts) if stat == "min" else np.median(ts))
 
 
 def measure_ring_scaling(A: CSR, device_counts: Sequence[int] = (1, 2, 4, 8),
@@ -216,6 +216,139 @@ def measure_dist_scaling(A: CSR, device_counts: Sequence[int] = (1, 2, 4, 8),
     return out
 
 
+def measure_weak_scaling(base_m: int = 4096,
+                         device_counts: Sequence[int] = (1, 2, 4, 8),
+                         iters: int = 3, band: int = 4,
+                         extra_per_row: int = 8,
+                         ici_bytes_per_s: float = V5E_ICI_BYTES_PER_S
+                         ) -> dict:
+    """WEAK scaling of the dist route: rows per device fixed at base_m,
+    the global problem grows with D (VERDICT r4 #8).
+
+    Why this cannot be superlinear (the r04 artifact): the r04 curve was
+    STRONG scaling — a fixed problem split D ways shrank each shard's
+    pow2 sort/workspace capacities, so per-shard work fell FASTER than
+    1/D and 'efficiency' exceeded 1. Here every D runs the same
+    per-shard row count and nnz distribution, so the D=1 shard is a
+    lower bound on any D>1 shard (whose gathered-B reassembly covers a
+    D-times-larger B) and
+
+        eff_weak(D) = t_shard(1) / (max_d t_shard(D) + t_collective(D))
+
+    is <= 1 by construction, up to timer noise.
+
+    The all-gather is MEASURED, not modeled: its own jitted shard_map
+    program over the same mesh and B-block arrays the dist route
+    gathers. On this virtual CPU mesh the measurement validates the
+    bytes/link VOLUME model (time should scale with (D-1) * block
+    bytes); the ICI wire time for the same volume is projected at
+    ici_bytes_per_s and reported separately, never folded into the
+    measured efficiency."""
+    from bench import build_matrix
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ia_spgemm_tpu.ops import esc as esc_mod
+    from ia_spgemm_tpu.parallel import distributed as dist
+
+    n_avail = len(jax.devices())
+    out = {"metric": "dist_spgemm_weak_scaling",
+           "backend": jax.default_backend(),
+           "rows_per_device": base_m,
+           "single_core_host": True,
+           "r04_superlinear_explanation":
+               "r04 measured STRONG scaling on a shared-CPU virtual "
+               "mesh: splitting a fixed problem shrank per-shard pow2 "
+               "capacities, so per-shard work fell faster than 1/D "
+               "(efficiency 1.07-1.29). Weak scaling pins the per-shard "
+               "shape, making eff > 1 structurally impossible.",
+           "points": []}
+    t1_ms = None
+    for d in device_counts:
+        if d > n_avail:
+            break
+        m = base_m * d
+        a = build_matrix(m=m, band=band, extra_per_row=extra_per_row)
+        A = CSR.from_scipy(a.astype(np.float32))
+        flops = get_flop(A, A)
+        n = A.ncols
+        As = dist.partition_rows(A, d, balance="flops", B=A)
+        e_cap, out_cap = dist.plan_dist_spgemm(A, A, d, balance="flops")
+        m_loc = As.rows_per_shard
+
+        rp_all, col_all, val_all = As.row_ptr, As.col_ind, As.values
+        nnz_all, rs_all = As.nnz, As.row_start
+        _asm = dist._assemble_global_csr
+
+        @jax.jit
+        def local_run(a_rp, a_col, a_val, a_nnz,
+                      g_rp=rp_all, g_col=col_all, g_val=val_all,
+                      g_nnz=nnz_all, g_rs=rs_all,
+                      e_cap=e_cap, out_cap=out_cap, m_loc=m_loc,
+                      m=m, n=n):
+            b_rp_g, b_col_g, b_val_g, _ = _asm(
+                g_rp, g_col, g_val, g_nnz, n_cols=n,
+                row_start=g_rs, n_rows=m)
+            a_row = esc_mod._entry_rows_from_row_ptr(
+                a_rp, a_col.shape[0])
+            return esc_mod._esc_core(
+                a_row, a_col, a_val, a_nnz, b_rp_g, b_col_g, b_val_g,
+                e_cap=e_cap, out_cap=out_cap, m=m_loc, k=m, n=n)
+
+        per_shard = []
+        for s in range(d):
+            args = (rp_all[s], col_all[s], val_all[s], nnz_all[s])
+            per_shard.append(_time_ms(lambda a_=args: local_run(*a_),
+                                      iters, stat="min"))
+        max_ms = max(per_shard)
+
+        # --- the collective, measured as its own jitted program ---
+        ag_ms = 0.0
+        blk_bytes = int(col_all.nbytes + val_all.nbytes
+                        + rp_all.nbytes) // d
+        if d > 1:
+            mesh = make_mesh(d)
+            As_m = dist.partition_rows(A, d, balance="flops", B=A,
+                                       mesh=mesh)
+            axis = mesh.axis_names[0]
+
+            def gather_fn(b_rp, b_col, b_val):
+                return (jax.lax.all_gather(b_rp[0], axis)[None],
+                        jax.lax.all_gather(b_col[0], axis)[None],
+                        jax.lax.all_gather(b_val[0], axis)[None])
+
+            gather = jax.jit(shard_map(
+                gather_fn, mesh=mesh,
+                in_specs=(P(axis),) * 3, out_specs=(P(axis),) * 3,
+                check_vma=False))
+            ag_ms = _time_ms(lambda: gather(As_m.row_ptr, As_m.col_ind,
+                                            As_m.values), iters,
+                             stat="min")
+        wire_bytes_per_link = 0 if d == 1 else blk_bytes * (d - 1)
+        comm_ici_ms = wire_bytes_per_link / ici_bytes_per_s * 1e3
+        if t1_ms is None:
+            t1_ms = max_ms
+        t_weak = max_ms + ag_ms
+        out["points"].append({
+            "devices": d,
+            "global_rows": m,
+            "flops": int(flops),
+            "per_shard_ms": [round(x, 3) for x in per_shard],
+            "max_shard_ms": round(max_ms, 3),
+            "allgather_measured_ms": round(ag_ms, 3),
+            "allgather_bytes_per_link": wire_bytes_per_link,
+            "allgather_gbs_measured": round(
+                wire_bytes_per_link * d / (ag_ms / 1e3) / 1e9, 3)
+            if ag_ms > 0 else None,
+            "comm_ici_projected_ms": round(comm_ici_ms, 4),
+            "time_ms": round(t_weak, 3),
+            "efficiency_weak": round(t1_ms / t_weak, 4),
+            "efficiency_weak_ici_projected": round(
+                t1_ms / (max_ms + comm_ici_ms), 4),
+        })
+    return out
+
+
 def model_ring_efficiency(A: CSR, device_counts: Sequence[int] = (1, 2, 4, 8),
                           *, t1_ms: float,
                           ici_bytes_per_s: float = V5E_ICI_BYTES_PER_S,
@@ -289,8 +422,11 @@ def main():
     enable_compilation_cache()
     a = build_matrix(m=8192, band=4, extra_per_row=8)
     A = CSR.from_scipy(a.astype(np.float32))
-    if "--dist" in sys.argv:
-        rep = measure_dist_scaling(A)
+    if "--dist" in sys.argv or "--weak" in sys.argv:
+        if "--weak" in sys.argv:
+            rep = measure_weak_scaling()
+        else:
+            rep = measure_dist_scaling(A)
         out = json.dumps(rep)
         print(out)
         for i, arg in enumerate(sys.argv):

@@ -368,6 +368,9 @@ class SlabCSR:
     slab_first_row: jax.Array  # (S,) int32 — global row of local row 0
     nnz: jax.Array             # 0-d int32
     shape: Shape2 = struct.field(pytree_node=False)
+    # Compensated (double-double) results: low-order halves (same
+    # contract as CSR.values_lo). None for plain results.
+    values_lo: jax.Array | None = None
 
     @property
     def nrows(self) -> int:
@@ -385,14 +388,24 @@ class SlabCSR:
     def dtype(self):
         return self.values.dtype
 
-    def checksum(self) -> jax.Array:
-        return jnp.sum(self.values)
+    def checksum(self):
+        if self.values_lo is None:
+            return jnp.sum(self.values)
+        # device double-double fold, 8-byte host combine (CSR.checksum)
+        from ia_spgemm_tpu.ops.esc import dd_sum
+        hi, lo = dd_sum(jnp.ravel(self.values),
+                        jnp.ravel(self.values_lo))
+        return np.float64(np.asarray(hi, np.float64)
+                          + np.asarray(lo, np.float64))
 
     def to_scipy(self):
         import scipy.sparse as sp
         S, W = self.keys.shape
         keys = np.asarray(self.keys).astype(np.int64)
         vals = np.asarray(self.values)
+        if self.values_lo is not None:
+            vals = (vals.astype(np.float64)
+                    + np.asarray(self.values_lo, np.float64))
         nnz_s = np.asarray(self.nnz_slab).astype(np.int64)
         sfr = np.asarray(self.slab_first_row).astype(np.int64)
         ok = np.arange(W)[None, :] < nnz_s[:, None]

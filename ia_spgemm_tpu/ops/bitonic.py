@@ -405,6 +405,54 @@ def _bitonic_sort_t(k, v, sub, width: int, start_kk: int,
     return k, v
 
 
+def _bitonic_sort_t2(k, v, w, sub, width: int, start_kk: int,
+                     static_strides: bool):
+    """Two-value-lane form of _bitonic_sort_t: keys carry (v, w) — the
+    compensated slab engine's (hi, lo) value pair (VERDICT r4 #6). One
+    extra roll + select per compare-exchange over the 2-array form."""
+    def cx(k, v, w, s, asc):
+        up = (sub & s) == 0
+        kf = pltpu.roll(k, width - s, axis=0)
+        kb_ = pltpu.roll(k, s, axis=0)
+        pk = jnp.where(up, kf, kb_)
+        pv = jnp.where(up, pltpu.roll(v, width - s, axis=0),
+                       pltpu.roll(v, s, axis=0))
+        pw = jnp.where(up, pltpu.roll(w, width - s, axis=0),
+                       pltpu.roll(w, s, axis=0))
+        want_small = asc == up
+        take = (want_small & (pk < k)) | (~want_small & (pk > k))
+        return (jnp.where(take, pk, k), jnp.where(take, pv, v),
+                jnp.where(take, pw, w))
+
+    if static_strides:
+        kk = start_kk
+        while kk <= width:
+            asc = (sub & kk) == 0
+            s = kk // 2
+            while s >= 1:
+                k, v, w = cx(k, v, w, s, asc)
+                s //= 2
+            kk *= 2
+        return k, v, w
+
+    def body(_, carry):
+        k, v, w, kk, s = carry
+        asc = (sub & kk) == 0
+        k, v, w = cx(k, v, w, s, asc)
+        nkk = jnp.where(s == 1, kk * 2, kk)
+        ns = jnp.where(s == 1, kk, s // 2)
+        return k, v, w, nkk, ns
+
+    log_w = width.bit_length() - 1
+    log_start = start_kk.bit_length() - 1
+    n_stages = log_w * (log_w + 1) // 2 - (log_start - 1) * log_start // 2
+    if n_stages > 0 and start_kk <= width:
+        k, v, w, _, _ = jax.lax.fori_loop(
+            0, n_stages, body,
+            (k, v, w, jnp.int32(start_kk), jnp.int32(start_kk // 2)))
+    return k, v, w
+
+
 def _bitonic_sort_t1(k, sub, width: int, start_kk: int,
                      static_strides: bool):
     """Single-array form of _bitonic_sort_t for PACKED keys (bf16 value

