@@ -301,6 +301,16 @@ def main():
     if "--max-seconds" in argv:
         max_seconds = float(argv[argv.index("--max-seconds") + 1])
     harvest_only = "--harvest-only" in argv
+    # --first p1,p2,...: harvest matrices whose names start with these
+    # prefixes BEFORE the rest of the corpus. Ordering is resume-safe
+    # (the checkpoint keys on names); used to front-load the class-niche
+    # families (dia/dense/dense_row/named replicas) so a time-bounded
+    # slice feeds the starved selector classes instead of piling more
+    # esc/bitonic labels (VERDICT r4 #1: every class >= 10 samples).
+    first_prefixes = ()
+    if "--first" in argv:
+        first_prefixes = tuple(
+            p for p in argv[argv.index("--first") + 1].split(",") if p)
 
     # Parent: CPU backend only — the worker owns the single TPU claim.
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -330,7 +340,20 @@ def main():
     child_env = {k: v for k, v in os.environ.items()
                  if k != "JAX_PLATFORMS"}
     tmp_out = "weights/.harvest_one.npz"
-    for name, _a, _b in corpus(quick):
+    if not _probe_tpu_recovered(max_wait_s=600.0):
+        print("TPU claim not available; aborting harvest", flush=True)
+        return
+
+    def ordered():
+        if first_prefixes:
+            for item in corpus(quick):
+                if item[0].startswith(first_prefixes):
+                    yield item
+        for item in corpus(quick):
+            if not item[0].startswith(first_prefixes):
+                yield item
+
+    for name, _a, _b in ordered():
         if time.time() - t_start > max_seconds:
             print(f"--max-seconds {max_seconds:.0f} budget spent; "
                   f"stopping with {len(samples)} samples", flush=True)
