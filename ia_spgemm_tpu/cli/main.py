@@ -85,9 +85,18 @@ def _print_csr(name, A):
 
 def enable_compilation_cache():
     """Persist XLA compilations across processes — first-compile of the
-    MatNet convs or a large ESC shape costs minutes on a tunneled TPU."""
+    MatNet convs or a large ESC shape costs minutes on a tunneled TPU.
+
+    TPU backend ONLY: XLA:CPU persists AOT machine code keyed without
+    the host's CPU feature set, so an entry compiled on one host
+    SIGILLs/segfaults when loaded on another (observed killing the test
+    suite mid-run once bench.main() had enabled the cache in-process;
+    the cpu_aot_loader E-logs name the feature mismatch). CPU compiles
+    are seconds, not minutes — caching them buys nothing."""
     import jax
     try:
+        if jax.default_backend() == "cpu":
+            return
         cache_dir = os.path.expanduser("~/.cache/ia_spgemm_tpu/xla")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -937,27 +937,37 @@ def _chunk_entries(a_col, a_val, chunks: int):
 
 
 def _prologue_to_refs(g_ref, av_ref, k_ref, v_ref, *, ka: int, run: int,
-                      width: int, L: int):
+                      width: int, L: int, pack: int = 1):
     """In-VMEM expand epilogue: per entry e, transpose its (L, lanes)
     gathered block, select the fwd/rev (run, L) col/val slices by entry
     parity (sublane-aligned — the XLA equivalent was lane-misaligned and
     11x off bandwidth), mask, multiply by a_val, and write each slice
     straight into the (width, L) product refs (incremental writes keep
     the scoped-VMEM live set at one slice, vs the 27 MB a concat of all
-    ka slices cost)."""
-    for e in range(ka):
-        geT = g_ref[e].T                  # (lanes, L)
-        if e % 2 == 1:
-            c = geT[2 * run:3 * run]
-            vbits = geT[3 * run:4 * run]
-        else:
-            c = geT[0:run]
-            vbits = geT[run:2 * run]
-        v = jax.lax.bitcast_convert_type(vbits, jnp.float32)
-        valid = c >= 0
-        k_ref[e * run:(e + 1) * run, :] = jnp.where(valid, c, SENTINEL)
-        v_ref[e * run:(e + 1) * run, :] = jnp.where(
-            valid, av_ref[e][None, :] * v, 0.0)
+    ka slices cost).
+
+    pack > 1: the pregathered g carries `pack` fragments per 128-lane
+    row (fragment e at lane offset (e % pack) * 4*run) — at run=8 the
+    unpacked layout wasted 3/4 of the kernel's HBM read on table-row
+    padding (VERDICT r4 #3 traffic lever). The transpose amortizes over
+    the packed row."""
+    for ep in range(-(-ka // pack)):
+        geT = g_ref[ep].T                 # (lanes, L)
+        for q in range(min(pack, ka - ep * pack)):
+            e = ep * pack + q
+            off = q * 4 * run
+            if e % 2 == 1:
+                c = geT[off + 2 * run:off + 3 * run]
+                vbits = geT[off + 3 * run:off + 4 * run]
+            else:
+                c = geT[off:off + run]
+                vbits = geT[off + run:off + 2 * run]
+            v = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+            valid = c >= 0
+            k_ref[e * run:(e + 1) * run, :] = jnp.where(valid, c,
+                                                        SENTINEL)
+            v_ref[e * run:(e + 1) * run, :] = jnp.where(
+                valid, av_ref[e][None, :] * v, 0.0)
     pad = width - ka * run
     if pad:
         k_ref[ka * run:, :] = jnp.full((pad, L), SENTINEL, jnp.int32)
@@ -1027,13 +1037,14 @@ def _expand_sort_compress_kernel_t(g_ref, av_ref, out_col_ref, out_val_ref,
                                    width: int, start_kk: int,
                                    static_strides: bool,
                                    out_width: int | None,
-                                   transpose_out: bool = False):
+                                   transpose_out: bool = False,
+                                   pack: int = 1):
     """Whole pipeline in ONE kernel (expand prologue + sort + compress)
     for widths whose live set fits scoped VMEM. Stages the product pair
     through (width, L) scratch."""
     L = av_ref.shape[1]
     _prologue_to_refs(g_ref, av_ref, k_scratch, v_scratch, ka=ka, run=run,
-                      width=width, L=L)
+                      width=width, L=L, pack=pack)
     sub = jax.lax.broadcasted_iota(jnp.int32, (width, L), 0)
     k, v = _bitonic_sort_t(k_scratch[:], v_scratch[:], sub, width,
                            start_kk, static_strides)
@@ -1168,13 +1179,14 @@ _ROW_MAJOR_OUT_MAX = 512
                    static_argnames=("width", "run", "ka", "start_kk",
                                     "interpret", "static_strides",
                                     "out_width", "compact",
-                                    "row_major_out"))
+                                    "row_major_out", "pack"))
 def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
                                start_kk: int, interpret: bool,
                                static_strides: bool = True,
                                out_width: int | None = None,
                                compact: bool = True,
-                               row_major_out: bool = False):
+                               row_major_out: bool = False,
+                               pack: int = 1):
     """Cols-layout pipeline fed by the e-major gather (g, avT): fused
     expand+sort (+compress when VMEM allows). Returns row-major
     (col (m, out_w), val (m, out_w), nnz (m, 1)).
@@ -1203,10 +1215,18 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
     # odd per-block ka would flip the alternation in every other block
     assert ka_blocks == 1 or ka_blk % 2 == 0, \
         f"ka={ka} split to odd block {ka_blk}; pad ka to a pow2 multiple"
+    # pack > 1: g carries `pack` fragments per lane-row (pregather-only
+    # layout, built by _pregather_class) — fused single-kernel path only
+    ka_rows = -(-ka // pack)
+    assert pack == 1 or (width <= FUSED_MAX_WIDTH and ka_blocks == 1), \
+        f"pack={pack} needs the fused path (width {width}, ka {ka})"
+    assert g.shape[0] == (ka_rows if pack > 1 else ka), \
+        f"g rows {g.shape[0]} != expected for ka={ka} pack={pack}"
     grid = (pl.cdiv(m, L),) if ka_blocks == 1 else \
         (pl.cdiv(m, L), ka_blocks)
     if ka_blocks == 1:
-        gspec = pl.BlockSpec((ka, L, lanes), lambda i: (0, i, 0),
+        gspec = pl.BlockSpec((ka_rows if pack > 1 else ka, L, lanes),
+                             lambda i: (0, i, 0),
                              memory_space=pltpu.VMEM)
         avspec = pl.BlockSpec((ka, L), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
@@ -1236,7 +1256,7 @@ def _sort_compress_from_gather(g, avT, *, width: int, run: int, ka: int,
                               run=run, width=width, start_kk=start_kk,
                               static_strides=static_strides,
                               out_width=out_w,
-                              transpose_out=row_major_out),
+                              transpose_out=row_major_out, pack=pack),
             grid=grid,
             in_specs=[gspec, avspec],
             out_specs=o_specs,
@@ -1567,15 +1587,16 @@ def _multiclass_fn(widths: tuple, kas: tuple, counts: tuple, run: int,
                     M_c, av_f = None, None
                 if w <= TRANSPOSED_MAX_WIDTH:
                     # pregather: mts[c] is already the plan-materialized
-                    # (F_c, n_pad, lanes) gather result (see
-                    # _multiclass_build_uncached)
+                    # (lane-packed when _pg_pack > 1) gather result (see
+                    # _multiclass_build_uncached / _pregather_class)
                     g = MT_c if pregather else table[
                         MT_c.reshape(-1)].reshape(F_c, counts[c], lanes)
                     col_c, val_c, nnz_c = _sort_compress_from_gather(
                         g, avT, width=w, run=run, ka=F_c,
                         start_kk=start_kk, interpret=interpret,
                         static_strides=static, out_width=out_c,
-                        row_major_out=out_c <= _ROW_MAJOR_OUT_MAX)
+                        row_major_out=out_c <= _ROW_MAJOR_OUT_MAX,
+                        pack=_pg_pack(run, w) if pregather else 1)
                 else:
                     # wide classes exceed cols-layout scoped VMEM (120 MB
                     # at 16384); these classes hold few rows, so the
@@ -1998,9 +2019,11 @@ def _multiclass_build_uncached(A: ELL, B: ELL, *, max_classes: int,
         pregather = pregather and not plan_device
         if pregather:
             lanes = int(table.shape[1])
-            g_bytes = sum(kas[c] * counts[c] * lanes * 4
-                          for c in range(len(widths))
-                          if int(widths[c]) <= TRANSPOSED_MAX_WIDTH)
+            g_bytes = sum(
+                -(-kas[c] // _pg_pack(run, int(widths[c])))
+                * counts[c] * lanes * 4
+                for c in range(len(widths))
+                if int(widths[c]) <= TRANSPOSED_MAX_WIDTH)
             if g_bytes > PREGATHER_BUDGET_BYTES or not any(
                     int(w) <= TRANSPOSED_MAX_WIDTH for w in widths):
                 pregather = False
@@ -2160,19 +2183,37 @@ def _pregather_fragments_device(A, B, widths, run, idxs, kas, counts,
         g, avt = _pregather_class(a_col, a_val, B.nnz_row, idxs[c],
                                   table, run=run, F_c=kas[c], F_B=kt,
                                   m=m,
-                                  gather=int(w) <= TRANSPOSED_MAX_WIDTH)
+                                  gather=int(w) <= TRANSPOSED_MAX_WIDTH,
+                                  pack=_pg_pack(run, int(w)))
         gs.append(g)
         avts.append(avt)
     return gs + avts
 
 
+def _pg_pack(run: int, width: int) -> int:
+    """Fragments packed per 128-lane row of the pregathered g.
+
+    A table row uses 4*run lanes ([col_f|val_f|col_rev|val_rev]) padded
+    to 128; unpacked, the fused kernel's per-call g read wastes the pad
+    (3/4 of the bytes at run=8 — the dominant tuned-headline HBM
+    stream). Packing applies only where the fused single-kernel path
+    consumes g (width <= FUSED_MAX_WIDTH; the split pipeline reads the
+    unpacked layout)."""
+    used = 4 * run
+    if width > FUSED_MAX_WIDTH or used >= 128 or 128 % used:
+        return 1
+    return 128 // used
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("run", "F_c", "F_B", "m", "gather"))
+                   static_argnames=("run", "F_c", "F_B", "m", "gather",
+                                    "pack"))
 def _pregather_class(a_col, a_val, b_nnz_row, idx, table, *, run: int,
-                     F_c: int, F_B: int, m: int, gather: bool):
+                     F_c: int, F_B: int, m: int, gather: bool,
+                     pack: int = 1):
     """One class's plan-time pregather artifacts, fused into a single
     compiled program: (g, AVT) for cols-layout classes, (MT, AVT) for
-    wide (rows-layout) ones."""
+    wide (rows-layout) ones. pack > 1 lane-packs g (see _pg_pack)."""
     b_len_d = jnp.maximum(b_nnz_row.astype(jnp.int32), 0)
     frag_cnt = jnp.maximum(-(-b_len_d // run), 1)
     startp_d = jnp.concatenate(
@@ -2184,7 +2225,17 @@ def _pregather_class(a_col, a_val, b_nnz_row, idx, table, *, run: int,
         av_c, jnp.clip(E_c, 0, av_c.shape[1] - 1), axis=1)
     if gather:
         lanes = table.shape[1]
-        g = table[M_c.T.reshape(-1)].reshape(F_c, idx.shape[0], lanes)
+        n_pad = idx.shape[0]
+        g = table[M_c.T.reshape(-1)].reshape(F_c, n_pad, lanes)
+        if pack > 1:
+            used = 4 * run
+            F_pad = -(-F_c // pack) * pack
+            gp = jnp.pad(g[:, :, :used],
+                         ((0, F_pad - F_c), (0, 0), (0, 0)),
+                         constant_values=-1)
+            g = (gp.reshape(F_pad // pack, pack, n_pad, used)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(F_pad // pack, n_pad, pack * used))
     else:
         g = M_c.T
     return g, av_f.T

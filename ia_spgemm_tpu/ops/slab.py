@@ -572,6 +572,49 @@ def _compact_xla(keys, vals, nnz_s, sfr, *, n: int, out_cap: int):
     return out_r, out_c, out_v
 
 
+def _compact_gather(keys, vals, nnz_s, sfr, *, n: int, out_cap: int,
+                    vals_lo=None):
+    """Slab concatenation INVERTED: per-OUTPUT-position source gather.
+
+    _compact_xla's three drop-mode scatters run ~30 ns/element (637 ms
+    on the acceptance workload, headline_rooflines.json r4). The
+    output→source map is piecewise-linear — within slab s, output
+    base[s]+t reads slot t — so src(p) = p + off(p) where off jumps
+    only at slab starts. off is built with one S-sized telescoping
+    scatter + a cumsum (the _device_fragments pattern), and the payload
+    moves through flat gathers instead of scatters. Tail positions
+    (p >= total) clip to the last element and are masked by
+    _finalize_csr. Row ids are arithmetic on the gathered keys (no
+    third array pass)."""
+    S, W = keys.shape
+    counts = nnz_s[:, 0]
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(counts, dtype=jnp.int32)])
+    # off deltas at each slab's first output position (empty slabs
+    # stack their deltas on the same position — add-mode telescoping)
+    offs = (jax.lax.iota(jnp.int32, S) * W - base[:-1])
+    d_off = offs - jnp.pad(offs[:-1], (1, 0))
+    sfr_d = sfr[:, 0] - jnp.pad(sfr[:-1, 0], (1, 0))
+    pos_s = jnp.minimum(base[:-1], out_cap)
+    g_off = jnp.zeros((out_cap + 1,), jnp.int32
+                      ).at[pos_s].add(d_off, mode="drop")
+    g_sfr = jnp.zeros((out_cap + 1,), jnp.int32
+                      ).at[pos_s].add(sfr_d, mode="drop")
+    p = jax.lax.iota(jnp.int32, out_cap)
+    src = jnp.clip(p + jnp.cumsum(g_off[:out_cap]), 0, S * W - 1)
+    sfr_p = jnp.cumsum(g_sfr[:out_cap])        # slab_first_row per pos
+    k = jnp.take(keys.reshape(-1), src)
+    vv = jnp.take(vals.reshape(-1), src)
+    lrow = jnp.floor_divide(k, n)
+    rows = jnp.pad(sfr_p + lrow, (0, 1))
+    cols = jnp.pad(k - lrow * n, (0, 1))
+    out_v = jnp.pad(vv, (0, 1))
+    if vals_lo is not None:
+        return rows, cols, out_v, jnp.pad(
+            jnp.take(vals_lo.reshape(-1), src), (0, 1))
+    return rows, cols, out_v
+
+
 @functools.partial(jax.jit, static_argnames=("m", "n", "out_cap"))
 def _finalize_csr(rows_raw, cols_raw, vals_raw, total,
                   *, m: int, n: int, out_cap: int):
@@ -791,29 +834,41 @@ def _plan_slab_csr_uncached(A: CSR, B: CSR, *, width: int | None = None,
     return call
 
 
-def slab_to_csr(C: SlabCSR, *, out_cap: int | None = None) -> CSR:
+def slab_to_csr(C: SlabCSR, *, out_cap: int | None = None,
+                engine: str = "gather") -> CSR:
     """Flatten a SlabCSR to exact device CSR.
 
-    Priced conversion (like convert.bcsr_to_csr): one drop-mode XLA
-    scatter over the slab grid (~per-element cost) plus a searchsorted
-    row_ptr — NOT part of the engine's hot path. Use the SlabCSR
-    directly (checksum/to_scipy are exact) when a flat layout isn't
-    required."""
+    Priced conversion (like convert.bcsr_to_csr), NOT part of the
+    engine's hot path; use the SlabCSR directly (checksum/to_scipy are
+    exact) when a flat layout isn't required. engine="gather" (default)
+    inverts the concatenation into flat gathers (see _compact_gather);
+    engine="scatter" keeps the drop-mode XLA scatter formulation as the
+    A/B baseline."""
     m, n = C.shape
     if out_cap is None:
         out_cap = cfg.bucket_capacity(max(int(C.keys.shape[0])
                                           * int(C.keys.shape[1]), 1))
         # the exact nnz is a device scalar; cap by the grid size
-    rows_raw, cols_raw, vals_raw = _compact_xla(
-        C.keys, C.values, C.nnz_slab[:, None], C.slab_first_row[:, None],
-        n=n, out_cap=out_cap)
+    if engine == "gather":
+        parts = _compact_gather(
+            C.keys, C.values, C.nnz_slab[:, None],
+            C.slab_first_row[:, None], n=n, out_cap=out_cap,
+            vals_lo=C.values_lo)
+        rows_raw, cols_raw, vals_raw = parts[:3]
+        lo_raw = parts[3] if C.values_lo is not None else None
+    else:
+        rows_raw, cols_raw, vals_raw = _compact_xla(
+            C.keys, C.values, C.nnz_slab[:, None],
+            C.slab_first_row[:, None], n=n, out_cap=out_cap)
+        lo_raw = None
+        if C.values_lo is not None:
+            _, _, lo_raw = _compact_xla(
+                C.keys, C.values_lo, C.nnz_slab[:, None],
+                C.slab_first_row[:, None], n=n, out_cap=out_cap)
     row_ptr, col, val = _finalize_csr(
         rows_raw, cols_raw, vals_raw, C.nnz, m=m, n=n, out_cap=out_cap)
     val_lo = None
-    if C.values_lo is not None:
-        _, _, lo_raw = _compact_xla(
-            C.keys, C.values_lo, C.nnz_slab[:, None],
-            C.slab_first_row[:, None], n=n, out_cap=out_cap)
+    if lo_raw is not None:
         val_lo = jnp.where(
             jax.lax.iota(jnp.int32, out_cap) < C.nnz,
             lo_raw[:out_cap], 0.0)

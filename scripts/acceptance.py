@@ -81,13 +81,22 @@ def headline_rooflines():
         out["esc_csr"]["engine"] = "slab"
         out["esc_csr"]["roofline_device"] = roofline.analyze(
             dev["device_ms"], cost) if dev["device_ms"] > 0 else None
-        # converter-inclusive: native SlabCSR flattened to exact CSR
-        # (the priced conversion, ~per-element scatter)
+        # converter-inclusive: native SlabCSR flattened to exact CSR.
+        # gather = production (piecewise-linear source map, VERDICT r4
+        # #7); scatter = the drop-mode formulation it replaced (A/B)
+        Cs_flat = scall()
         r2 = profiling.time_op(
-            lambda: slab_mod.slab_to_csr(scall(),
+            lambda: slab_mod.slab_to_csr(Cs_flat,
                                          out_cap=scall.plan.out_cap),
             iters=3)
         out["esc_csr_to_flat"] = roofline.analyze(r2["median_ms"], cost)
+        out["esc_csr_to_flat"]["engine"] = "gather"
+        r2s = profiling.time_op(
+            lambda: slab_mod.slab_to_csr(Cs_flat, engine="scatter",
+                                         out_cap=scall.plan.out_cap),
+            iters=3)
+        out["esc_csr_to_flat_scatter"] = roofline.analyze(
+            r2s["median_ms"], cost)
     # the forced global-sort engine (A/B baseline for the slab engine;
     # also the fp64 path)
     r = profiling.time_op(

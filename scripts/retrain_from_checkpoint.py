@@ -45,7 +45,11 @@ def main():
     # must not be clobbered by a partial harvest. Promote explicitly
     # (--promote) once the v2 corpus covers its menu.
     promote = "--promote" in sys.argv
-    suf = "" if (promote or path.endswith("tpu_samples.npz")) else "_v2"
+    if promote or path.endswith("tpu_samples.npz"):
+        suf = ""
+    else:  # version-suffixed artifacts: tpu_samples_v3.npz -> _v3
+        stem = os.path.splitext(os.path.basename(path))[0]
+        suf = "_" + stem.rsplit("_", 1)[-1] if "_v" in stem else "_v2"
 
     params, _, _ = upcycle.upcycle(samples, menu=MENU, init_from="Intel",
                                    steps=400, batch_size=16)

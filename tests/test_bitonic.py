@@ -611,3 +611,22 @@ def test_multiclass_pregather_matches(a):
     assert np.array_equal(np.asarray(C0.val_blocks),
                           np.asarray(C1.val_blocks))
     _check(a, a, C1)
+
+
+def test_multiclass_pregather_packed_run8():
+    """The tuned headline config (run=8 -> _pg_pack=4 lane-packed g)
+    matches the per-call-gather result bit-for-bit."""
+    a = _skewed(11, 120)
+    A = _ell(a)
+    base = bitonic.multiclass_planned(A, A, assemble="bcsr",
+                                      run_override=8)
+    pg = bitonic.multiclass_planned(A, A, assemble="bcsr",
+                                    pregather=True, run_override=8)
+    assert base is not None and pg is not None
+    C0, C1 = base(), pg()
+    assert np.array_equal(np.asarray(C0.nnz_row), np.asarray(C1.nnz_row))
+    assert np.array_equal(np.asarray(C0.col_blocks),
+                          np.asarray(C1.col_blocks))
+    assert np.array_equal(np.asarray(C0.val_blocks),
+                          np.asarray(C1.val_blocks))
+    _check(a, a, C1)

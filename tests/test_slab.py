@@ -107,6 +107,48 @@ def test_slab_to_csr_converter():
     nnzc = int(np.asarray(C.nnz))
     assert nnzc == want.nnz
     assert np.asarray(C.row_ptr)[-1] == nnzc
+    # the gather engine (default) is bit-identical to the scatter
+    # formulation it replaced (empty slabs, tails and all)
+    C2 = slab.slab_to_csr(Cs, engine="scatter")
+    for f in ("row_ptr", "col_ind", "values"):
+        assert np.array_equal(np.asarray(getattr(C, f)),
+                              np.asarray(getattr(C2, f))), f
+
+
+def test_slab_to_csr_gather_empty_rows_and_lo():
+    """Gather compaction across empty leading/mid rows (stacked slab
+    deltas) and with compensated lo lanes fused into the same pass."""
+    m = 96
+    rng = np.random.default_rng(3)
+    lens = np.zeros(m, np.int64)
+    lens[40:60] = rng.integers(1, 6, 20)   # rows 0-39 empty
+    rows = np.repeat(np.arange(m), lens)
+    cols = rng.integers(0, m, rows.shape[0])
+    a = sp.coo_matrix((rng.standard_normal(rows.shape[0]),
+                       (rows, cols)), shape=(m, m)).tocsr()
+    a.sum_duplicates()
+    A = CSR.from_scipy(a.astype(np.float32))
+    Cs = slab.spgemm_csr_slab(A, A)
+    assert Cs is not None
+    C = slab.slab_to_csr(Cs)
+    want = (a.astype(np.float32) @ a.astype(np.float32)).tocsr()
+    want.sum_duplicates()
+    got = C.to_scipy()
+    d = abs(got.astype(np.float64) - want.astype(np.float64))
+    assert (d.max() if d.nnz else 0.0) < 1e-5
+    assert int(np.asarray(C.nnz)) == want.nnz
+    # compensated output: lo lane rides the same gather
+    call = slab.plan_slab_csr(A, A, dd=True)
+    if call is not None:
+        Cd = call()
+        if getattr(Cd, "values_lo", None) is not None:
+            flat = slab.slab_to_csr(Cd)
+            ref = slab.slab_to_csr(Cd, engine="scatter")
+            assert flat.values_lo is not None
+            assert np.array_equal(np.asarray(flat.values_lo),
+                                  np.asarray(ref.values_lo))
+            assert np.array_equal(np.asarray(flat.values),
+                                  np.asarray(ref.values))
 
 
 def test_slab_hybrid_skewed():
