@@ -366,7 +366,13 @@ def measure_weak_scaling(base_m: int = 4096,
         t1_best = min(t1_ms, t1_end)
         out["baseline_t1_ms_first"] = round(t1_ms, 3)
         out["baseline_t1_ms_last"] = round(t1_end, 3)
+        out["baseline_drift"] = round(max(t1_ms, t1_end) / t1_best, 3)
         for p in out["points"]:
+            if p["devices"] == 1:
+                # the baseline defines efficiency; 1.0 by construction
+                p["efficiency_weak"] = 1.0
+                p["efficiency_weak_ici_projected"] = 1.0
+                continue
             p["efficiency_weak"] = round(
                 min(1.0, t1_best / (p["_max_shard_raw"]
                                     + p["allgather_measured_ms"])), 4)

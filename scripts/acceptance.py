@@ -131,6 +131,12 @@ def headline_rooflines():
                              int(A.nnz), int(A.nnz), int(C.nnz),
                              value_bytes=8)
     out["compensated"] = roofline.analyze(r["median_ms"], cost)
+    dev = profiling.device_time_ms(
+        lambda: esc.spgemm_csr_compensated(A, A), chain=4)
+    out["compensated"]["device_ms"] = dev["device_ms"]
+    if dev["device_ms"] > 0:
+        out["compensated"]["roofline_device"] = roofline.analyze(
+            dev["device_ms"], cost)
 
     # dense_row is the narrow-dense-output strategy; the headline's square
     # n=32768 dense B (4.3 GB) is out of scope by design, so its roofline
