@@ -103,7 +103,10 @@ def spgemm_auto(A: CSR, B: CSR, **kwargs):
     algo = sel.algorithm
     if algo == "dia":
         Ad, Bd = convert.csr_to_dia(A), convert.csr_to_dia(B)
-        if Ad is not None and Bd is not None:
+        if (Ad is not None and Bd is not None
+                and dia_ops.dia_compute_viable(
+                    int(Ad.offsets.shape[0]), int(Bd.offsets.shape[0]),
+                    A.nrows)):
             C = dia_ops.spgemm_dia(Ad, Bd)
             return convert.dia_to_csr(C), sel
         algo = "csr"

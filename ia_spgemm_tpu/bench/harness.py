@@ -325,8 +325,13 @@ def _bench_one(name: str, A: CSR, B: CSR, config: cfg.SpGEMMConfig,
         def compute(ab):
             return ell_ops.spgemm_ell(ab[0], ab[1])
     elif name == "dia":
-        if csr_to_dia_probe(A, ratio) is None or \
-                csr_to_dia_probe(B, ratio) is None:
+        nda = csr_to_dia_probe(A, ratio)
+        ndb = csr_to_dia_probe(B, ratio)
+        if nda is None or ndb is None or \
+                not dia_ops.dia_compute_viable(nda, ndb, A.nrows):
+            # size guard (reference choice=false) OR compute budget —
+            # the sequential pair scan cannot be cancelled once
+            # dispatched (see dia.DIA_PAIR_FLOP_BUDGET)
             res.skipped = True
             return None
 

@@ -139,6 +139,7 @@ def measure_dist_scaling(A: CSR, device_counts: Sequence[int] = (1, 2, 4, 8),
            "flops": int(flops),
            "points": []}
     t1_ms = None
+    rerun_t1 = None
     for d in device_counts:
         if d > n_avail:
             break
@@ -177,6 +178,10 @@ def measure_dist_scaling(A: CSR, device_counts: Sequence[int] = (1, 2, 4, 8),
             per_shard.append(_time_ms(lambda a=args: local_run(*a),
                                       iters, stat="min"))
         max_ms, sum_ms = max(per_shard), sum(per_shard)
+        if d == 1:
+            args1 = (rp_all[0], col_all[0], val_all[0], nnz_all[0])
+            rerun_t1 = (lambda f=local_run, a=args1:
+                        _time_ms(lambda: f(*a), iters, stat="min"))
 
         # --- full shard_map program, serialized on this host ------------
         mesh = make_mesh(d)
@@ -215,7 +220,25 @@ def measure_dist_scaling(A: CSR, device_counts: Sequence[int] = (1, 2, 4, 8),
                 t1_ms / (d * t_par_model), 4),
             "projected_nnz_per_s": round(
                 nnz_out / (t_par_model / 1e3), 1),
+            "_max_shard_raw": max_ms,
+            "_comm_raw": comm_ms,
         })
+    # re-measure the D=1 baseline AFTER the last point (host-load drift
+    # between points is the dominant noise on a shared host; min of
+    # first/last is conservative — it can only LOWER efficiencies)
+    if out["points"] and rerun_t1 is not None:
+        t1_best = min(t1_ms, rerun_t1())
+        out["baseline_t1_ms_first"] = round(t1_ms, 3)
+        out["baseline_t1_ms_best"] = round(t1_best, 3)
+        for p in out["points"]:
+            d_, mx = p["devices"], p["_max_shard_raw"]
+            p["efficiency_measured_compute"] = 1.0 if d_ == 1 else round(
+                t1_best / (d_ * mx), 4)
+            p["efficiency_with_modeled_wire"] = 1.0 if d_ == 1 else round(
+                t1_best / (d_ * (mx + p["_comm_raw"])), 4)
+    for p in out["points"]:
+        p.pop("_max_shard_raw", None)
+        p.pop("_comm_raw", None)
     return out
 
 

@@ -80,12 +80,45 @@ def _dia_core(a_offs, a_vals, b_offs, b_vals, c_offs, *, m: int, ka: int,
     return c
 
 
+# Compute-viability budget: _dia_core scans the ndA x ndB pair list
+# SEQUENTIALLY (one (m,)-vector FMA per step). A dense-ish matrix at
+# m=1024 occupies ~2047 diagonals -> 4.2M scan steps x (m, ndC) carry —
+# an hours-long kernel that XLA cannot cancel once dispatched: the
+# harness watchdog abandons its thread but the DEVICE stays wedged and
+# every later dispatch in the process dies with "TPU device error"
+# (observed killing the r5 harvest on the smalldense family). The
+# reference survives the same blow-up only because pthread_cancel kills
+# host OpenMP work (main.cpp:770-793); device work must be rejected
+# BEFORE dispatch instead. Budget in scalar FMA terms (pairs * m):
+# real DIA territory (bands/scattered diagonals, nd <= ~200) stays well
+# under it; dense-ish inputs that would take minutes-to-hours are
+# declined like any other viability guard.
+DIA_PAIR_FLOP_BUDGET = 2 ** 28
+
+
+def dia_compute_viable(ndA: int, ndB: int, m: int) -> bool:
+    """True when the diagonal-algebra kernel's sequential pair scan fits
+    the compute budget (see DIA_PAIR_FLOP_BUDGET)."""
+    return int(ndA) * int(ndB) * max(int(m), 1) <= DIA_PAIR_FLOP_BUDGET
+
+
 def spgemm_dia(A: DIA, B: DIA, out_offsets: np.ndarray | None = None) -> DIA:
-    """C = A @ B with both operands DIA (reference: dia/common_dia.h:101-195)."""
+    """C = A @ B with both operands DIA (reference: dia/common_dia.h:101-195).
+
+    Raises ValueError when the pair scan exceeds DIA_PAIR_FLOP_BUDGET —
+    the un-dispatchable analogue of the reference's watchdog kill."""
     if A.ncols != B.nrows:
         raise ValueError(f"shape mismatch: {A.shape} @ {B.shape}")
     m, _ = A.shape
     n = B.ncols
+    nda, ndb = int(A.offsets.shape[0]), int(B.offsets.shape[0])
+    if not dia_compute_viable(nda, ndb, m):
+        raise ValueError(
+            f"DIA pair scan {nda}x{ndb} over m={m} rows exceeds the "
+            f"compute budget ({nda * ndb * m:.2e} > "
+            f"{DIA_PAIR_FLOP_BUDGET:.2e} scalar FMAs): the sequential "
+            "kernel would run for minutes and cannot be cancelled once "
+            "dispatched — use the csr/esc routes for dense-ish inputs")
     c_offs = (plan_dia_out_offsets(A, B) if out_offsets is None
               else np.asarray(out_offsets, np.int32))
     vals = _dia_core(A.offsets, A.values, B.offsets, B.values,

@@ -35,6 +35,16 @@ def main():
     MENU = tuple(upcycle.load_samples_menu(path) or MENU_V1)
     print(f"checkpoint {path} menu={MENU}", flush=True)
     samples = upcycle.load_samples(path)
+    # --menu a,b,c: RELABEL the stored per-algorithm times against a
+    # winnowed menu (VERDICT r4 #1: a class that provably never wins —
+    # hash in r4, dia in the r5 device-time harvest — does not belong in
+    # the selector; the v3 checkpoint stores times so menu changes are
+    # offline)
+    if "--menu" in sys.argv:
+        MENU = tuple(sys.argv[sys.argv.index("--menu") + 1].split(","))
+        samples = upcycle.relabel(samples, MENU)
+        print(f"relabeled to menu={MENU}: {len(samples)} samples",
+              flush=True)
     counts = {algo: sum(1 for s in samples if s.winner == algo)
               for algo in MENU}
     print(f"{len(samples)} samples {counts}", flush=True)

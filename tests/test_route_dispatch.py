@@ -104,3 +104,28 @@ def test_hot_paths_never_flatten_slabcsr(monkeypatch):
     # harness esc algorithm end-to-end (the timed loop the reports use)
     rep = harness.run_benchmark(A, A, ("baseline", "esc"), iters=1)
     assert all(r.ok for r in rep.results)
+
+
+def test_dia_compute_budget_rejects_denseish():
+    """A dense-ish matrix occupies ~2m diagonals; the sequential DIA
+    pair scan would run for minutes and CANNOT be cancelled once
+    dispatched (it wedged the r5 harvest's device). The budget guard
+    must reject it pre-dispatch: harness skips, spgemm_dia raises."""
+    from ia_spgemm_tpu.bench import harness
+    from ia_spgemm_tpu.formats import convert
+    from ia_spgemm_tpu.ops import dia as dia_ops
+
+    rng = np.random.default_rng(0)
+    m = 512
+    a = sp.random(m, m, density=0.25, random_state=rng, format="csr")
+    A = CSR.from_scipy(a.astype(np.float32))
+    rep = harness.run_benchmark(A, A, ("baseline", "dia"), iters=1)
+    dia_res = [r for r in rep.results if r.name == "dia"][0]
+    assert dia_res.skipped and not dia_res.ok
+    Ad = convert.csr_to_dia(A, check_guard=False)
+    assert not dia_ops.dia_compute_viable(
+        int(Ad.offsets.shape[0]), int(Ad.offsets.shape[0]), m)
+    with pytest.raises(ValueError, match="compute budget"):
+        dia_ops.spgemm_dia(Ad, Ad)
+    # banded inputs stay viable (the format's real territory)
+    assert dia_ops.dia_compute_viable(9, 9, 16384)
