@@ -336,6 +336,20 @@ def main():
         samples = upcycle.load_samples(ckpt)
         done = {s.matrix_name for s in samples}
         print(f"resuming with {len(samples)} saved samples", flush=True)
+    # no-winner/failed matrices are also checkpointed (names only) so a
+    # resumed slice doesn't re-burn ~10 min re-failing the same inputs
+    nowin_path = "weights/.harvest_nowinner.json"
+    try:
+        with open(nowin_path) as f:
+            nowinner = set(json.load(f))
+    except (OSError, ValueError):
+        nowinner = set()
+    done |= nowinner
+
+    def mark_nowinner(nm):
+        nowinner.add(nm)
+        with open(nowin_path, "w") as f:
+            json.dump(sorted(nowinner), f)
     t_start = time.time()
     child_env = {k: v for k, v in os.environ.items()
                  if k != "JAX_PLATFORMS"}
@@ -386,9 +400,11 @@ def main():
             continue
         if rc != 0:
             print(f"{name}: worker failed rc={rc}", flush=True)
+            mark_nowinner(name)
             continue
         if not os.path.exists(tmp_out):
             print(f"{name}: no winner", flush=True)
+            mark_nowinner(name)
             continue
         try:
             samples.extend(upcycle.load_samples(tmp_out))
